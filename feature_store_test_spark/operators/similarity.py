@@ -1,0 +1,79 @@
+"""Embedding similarity search (north-star: ANN over array<float> columns).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set against
+the full corpus; dot products run as JVM-side higher-order functions
+(zip_with + aggregate folding in array order with double accumulation, so
+results are bit-stable), then a per-query ranking window.
+
+Scale path: the same top-k with an LSH pre-bucket (random-hyperplane signs
+derived from md5, same determinism story as dedup) so each query only scans
+its bucket — implemented in later rounds; the brute-force form stays as the
+exact-recall oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Ordered-fold dot product with double accumulation (deterministic)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank, cos_sim). Self-matches excluded.
+    The similarity is rounded BEFORE ranking and ties break on neighbor id,
+    so the result set is fully deterministic.
+
+    Scale: queries broadcast (top-k serving batches are small); the corpus
+    is scanned once, partition-parallel; ranking shuffles only
+    (n_queries × corpus) score rows — at 100 TB use the LSH variant to cut
+    the scored candidate set first.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("__qv", "__cv"), round_dp).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

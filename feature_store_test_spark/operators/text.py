@@ -1,0 +1,113 @@
+"""Text-analysis column builders (north-star: training-data pipeline ops).
+
+All pure JVM-side Column expressions (whole-stage codegen) — no Python UDFs
+in any hot path. Everything is deterministic and mirrored 1:1 by DuckDB SQL
+in the oracle queries.
+
+Token model: documents are single-space separated word sequences (driver
+fixture); ``tokens`` is a plain split, ``bpe-ish`` tokens come from a regexp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopword sets for the n-gram language-id heuristic. The fixture
+# vocabulary is synthetic (English-ish words for every lang label), so the
+# heuristic is exercised for determinism, not accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast"),
+    "es": ("data", "table", "row"),
+    "de": ("join", "group", "sort"),
+}
+
+TOKEN_REGEX = "[a-z]+|[0-9]+"
+
+
+def tokens(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def n_tokens(text: str | Column = "text") -> Column:
+    return F.size(tokens(text))
+
+
+def n_unique_tokens(text: str | Column = "text") -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def type_token_ratio(text: str | Column = "text") -> Column:
+    """Lexical diversity: distinct tokens / tokens, rounded for stability."""
+    return F.round(
+        n_unique_tokens(text).cast("double") / n_tokens(text).cast("double"), 6
+    )
+
+
+def avg_token_len(text: str | Column = "text") -> Column:
+    """Mean token length, computed arithmetically from char count.
+
+    With single-space separation: sum(len(w)) == length(text) - (n-1),
+    which avoids an explode and is exactly mirrored in SQL.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n = n_tokens(c).cast("double")
+    return F.round((F.length(c).cast("double") - (n - 1)) / n, 6)
+
+
+def marker_count(text: str | Column, markers: tuple[str, ...]) -> Column:
+    """How many tokens fall in a marker set (language-id signal)."""
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(text), lambda w: F.array_contains(marker_arr, w)))
+
+
+def predicted_lang(text: str | Column = "text") -> Column:
+    """Argmax marker count with deterministic alphabetical tiebreak."""
+    scores = {lang: marker_count(text, ms) for lang, ms in LANG_MARKERS.items()}
+    langs = sorted(LANG_MARKERS)  # alphabetical priority on ties
+    expr = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [scores[lg] for lg in langs if lg > lang]
+        cond = scores[lang] >= F.greatest(*later) if len(later) > 1 else scores[lang] >= later[0]
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def stopword_ratio(text: str | Column = "text") -> Column:
+    all_markers = tuple(m for ms in LANG_MARKERS.values() for m in ms)
+    return F.round(
+        marker_count(text, all_markers).cast("double") / n_tokens(text).cast("double"), 6
+    )
+
+
+def quality_score(text: str | Column = "text") -> Column:
+    """Composite quality heuristic in [0, ~1]: length + diversity - stopword load.
+
+    Deterministic arithmetic only; the exact formula is the declared semantic
+    (mirrored in the oracle), not a claim about linguistic quality.
+    """
+    n = n_tokens(text).cast("double")
+    length_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    diversity = n_unique_tokens(text).cast("double") / n
+    stop = stopword_ratio(text)
+    return F.round(0.5 * length_score + 0.5 * diversity - 0.25 * stop, 6)
+
+
+def bpe_ish_token_count(text: str | Column = "text") -> Column:
+    """Regex token count ('[a-z]+|[0-9]+') — the BPE-ish pre-tokenizer pass."""
+    c = F.col(text) if isinstance(text, str) else text
+    # idx=0: whole-match extraction (Spark defaults idx to 1, which errors
+    # on group-free patterns).
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
+
+
+def fingerprint(text: str | Column = "text") -> Column:
+    """Full-content md5 fingerprint (exact-dedup key)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def prefix_fingerprint(text: str | Column = "text", n_words: int = 5) -> Column:
+    """Fingerprint of the first n words — a cheap head-dedup key."""
+    return F.md5(F.array_join(F.slice(tokens(text), 1, n_words), " "))

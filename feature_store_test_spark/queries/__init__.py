@@ -1,0 +1,17 @@
+"""Query definitions. Importing this package registers every query.
+
+Modules:
+    relational      scans, filters, joins, aggs, windows, sorts, set ops (SURVEY §2.1-2.8)
+    feature_parity  reference feature-store semantics re-expressed on Spark (SURVEY §2.4, §2.9-2.10)
+    dedup           exact + near-duplicate detection (north-star)
+    text            text analysis: tokens, language id, quality, fingerprints (north-star)
+    similarity      embedding similarity search (north-star)
+"""
+
+from feature_store_test_spark.queries import (  # noqa: F401
+    dedup,
+    feature_parity,
+    relational,
+    similarity,
+    text,
+)

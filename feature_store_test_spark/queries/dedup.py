@@ -1,0 +1,198 @@
+"""Deduplication queries over ``documents`` (north-star operators).
+
+The fixture corpus: 500-5000 docs, single-space word sequences over a small
+vocabulary — dense near-duplicate structure, no exact duplicates; dedup
+keys therefore include head-prefix fingerprints, and near-dup detection uses
+3-word shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_store_test_spark.data import load_table
+from feature_store_test_spark.operators import text as Tx
+from feature_store_test_spark.operators.dedup import (
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    word_shingles,
+)
+from feature_store_test_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Q19 — exact-dedup statistics: hash fingerprints, distinct counts per
+# source. Scale: count(distinct md5) shuffles 16-byte digests, never bodies.
+# ---------------------------------------------------------------------------
+@register(
+    "q19_exact_dedup_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique_texts,
+           COUNT(DISTINCT md5(array_to_string(string_split(text, ' ')[1:5], ' ')))
+             AS n_unique_head5
+    FROM documents
+    GROUP BY source
+    """,
+    doc="exact-duplicate statistics by source (content + head-prefix fingerprints)",
+    tags=("dedup", "agg"),
+)
+def q19_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(Tx.fingerprint("text")).alias("n_unique_texts"),
+        F.countDistinct(Tx.prefix_fingerprint("text", 5)).alias("n_unique_head5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — exact dedup, keep-first survivors: group by head-prefix fingerprint,
+# keep min doc_id (deterministic survivor rule). The canonical exact-dedup
+# reduce: one shuffle of (fingerprint, id).
+# ---------------------------------------------------------------------------
+@register(
+    "q20_dedup_keep_first",
+    oracle="""
+    SELECT md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS group_size
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="keep-first exact dedup on head-5-word fingerprint",
+    tags=("dedup", "agg"),
+)
+def q20_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(Tx.prefix_fingerprint("text", 5).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — MinHash + LSH near-dup candidates with exact-Jaccard verification
+# (the full industrial near-dedup pipeline in one declared query):
+# shingle → 8 md5-minhashes → 4 bands → bucket self-join → Jaccard ≥ 0.5.
+# Oracle replays the identical algorithm in SQL (md5 minima are
+# deterministic hex-string comparisons on both engines).
+# ---------------------------------------------------------------------------
+_MINHASH_K = 8
+_MINHASH_BANDS = 4
+_JACCARD_T = 0.5
+
+@register(
+    "q21_minhash_near_dups",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM words, unnest(generate_series(1, len(w) - 2)) AS g(i)
+    ),
+    hashes AS (
+      SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
+      FROM shingles, unnest(generate_series(0, {_MINHASH_K - 1})) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // {_MINHASH_K // _MINHASH_BANDS} AS INT) AS band,
+             md5(string_agg(minhash, '' ORDER BY seed)) AS bucket
+      FROM hashes GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (za.sz + zb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = id_a
+    JOIN sizes zb ON zb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= {_JACCARD_T}
+    """,
+    doc="MinHash(8)+LSH(4 bands) candidates verified by exact 3-shingle Jaccard >= 0.5",
+    tags=("dedup", "minhash", "lsh"),
+)
+def q21_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, "doc_id", k=_MINHASH_K)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS)
+    return jaccard_verify(sh, pairs, "doc_id", threshold=_JACCARD_T)
+
+
+# ---------------------------------------------------------------------------
+# Q22 — nibble-SimHash fingerprints: 16 md5-nibble dimensions vote ±
+# (nibble - 7.5) per distinct token; bit = vote-sum >= 0. Deterministic and
+# SQL-reproducible (strpos over the hex alphabet), unlike bit-twiddled
+# 64-bit simhash which SQL engines disagree on.
+# Scale: explode(distinct tokens) × 16 positions → groupBy(doc, pos) — one
+# shuffle; signature assembly is a 16-element sorted collect per doc.
+# ---------------------------------------------------------------------------
+@register(
+    "q22_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, j,
+             SUM(strpos('0123456789abcdef', substr(md5(w), j, 1)) - 1 - 7.5) AS v
+      FROM tok, unnest(generate_series(1, 16)) AS p(j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash16
+    FROM votes GROUP BY doc_id
+    """,
+    doc="16-dim nibble-simhash document fingerprint",
+    tags=("dedup", "simhash"),
+)
+def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    votes = (
+        tok.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(16))).alias("j"),
+            F.md5("w").alias("h"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            (
+                F.instr(F.lit("0123456789abcdef"), F.substring("h", F.col("j"), F.lit(1)))
+                - 1
+                - 7.5
+            ).alias("vote"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "v"))),
+                lambda s: F.when(s["v"] >= 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+            "",
+        ).alias("simhash16")
+    )

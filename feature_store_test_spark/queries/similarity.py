@@ -1,0 +1,118 @@
+"""Embedding similarity-search queries over ``embeddings`` (north-star ANN).
+
+Dot products are ordered folds with double accumulation on both engines
+(Spark: zip_with + aggregate; DuckDB: list_dot_product over DOUBLE[]), and
+similarities are rounded to 6 dp BEFORE ranking with an id tiebreak — the
+result set is fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_store_test_spark.data import load_table
+from feature_store_test_spark.operators.similarity import cosine, cosine_topk, l2_norm
+from feature_store_test_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Q28 — brute-force cosine top-5 for a 20-query batch (the exact-recall ANN
+# baseline). Scale: broadcast queries, single corpus scan, per-query window.
+# ---------------------------------------------------------------------------
+@register(
+    "q28_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS cos_sim
+      FROM q JOIN c ON query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="exact cosine top-5 neighbors for 20 query vectors (ANN baseline)",
+    tags=("similarity", "window", "join"),
+)
+def q28_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 20),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q29 — embedding norms + label centroid distance: array math surface
+# (zip_with / aggregate / sqrt) without a join.
+# ---------------------------------------------------------------------------
+@register(
+    "q29_embedding_norms",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(MIN(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
+           ROUND(MAX(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="per-label embedding norm statistics (array math surface)",
+    tags=("similarity", "agg"),
+)
+def q29_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    norm = F.round(l2_norm("embedding"), 6)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min(norm).alias("min_norm"),
+        F.max(norm).alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q30 — pairwise label-0 similarity above a threshold: the "embedding
+# near-dup" declared semantics (cosine >= 0.25 within a label bucket — the fixture embeddings are near-orthogonal random vectors, so 0.25 marks the upper tail).
+# Bucketing by label bounds the pair blowup — the same role LSH buckets
+# play at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "q30_embedding_near_dups",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE label = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                6) >= 0.25
+    """,
+    doc="embedding-cosine near-duplicate pairs within label bucket (>= 0.25)",
+    tags=("similarity", "dedup", "join"),
+)
+def q30_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).where(F.col("label") == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = F.round(cosine("va", "vb"), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.25)
+    )

@@ -1,0 +1,60 @@
+"""Query registry: every engine capability is declared as a named query.
+
+Each entry pairs a Spark implementation (``fn(spark, sf_dir) -> DataFrame``)
+with an equivalent DuckDB oracle SQL string run on the same parquet tables.
+The driver executes both at sf0.01 and hash-compares results; queries whose
+semantics cannot be expressed in SQL (stateful streaming, iterative ML) set
+``oracle=None`` and get a rows-only check.
+
+Conventions that keep the hash-compare honest:
+- Alias every computed column identically in Spark and SQL (the driver sorts
+  columns by name before hashing).
+- Money sums: ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`` on both sides
+  — exact integer-cent arithmetic makes the result bit-identical regardless
+  of summation order (Spark partial aggs vs DuckDB's), then one double cast.
+- Ratios / averages: compute from exact decimal sums where possible, else
+  round to 6 dp on both sides (double accumulation order differs between
+  engines; 1e-6 rounding absorbs it while staying far above the noise).
+- LIMIT/top-k queries carry a total deterministic ORDER BY (unique tiebreak
+  column) — otherwise ties make the result set itself nondeterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None -> rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import for side effect: query modules self-register on import.
+    from feature_store_test_spark import queries as _q  # noqa: F401
+
+    return dict(_REGISTRY)

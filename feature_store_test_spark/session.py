@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+One place for every config the engine relies on, so tests, bench, and the
+driver entry point all run the same session shape.
+
+Scale notes (100 TB design point):
+- AQE is on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast conversion replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; on a real
+  cluster set it ~2-3x total cores and let AQE coalesce.
+- Timestamps: session timezone pinned to UTC and parquet NTZ inference off so
+  every timestamp column is a plain ``TimestampType`` with UTC wall-clock
+  values — deterministic across engines and executors.
+- ``nanosAsLong``: the driver's ``events`` table stores TIMESTAMP(NANOS)
+  which the Spark parquet reader refuses by default; we read it as a long
+  and convert (``data.load_table`` truncates ns → µs exactly like DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "feature-store-test-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cpus = default_parallelism()
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- determinism / cross-engine comparability ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- optimizer / execution ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- python interop (pandas UDFs, toPandas) ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- local-mode memory sanity ---
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
