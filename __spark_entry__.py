@@ -35,6 +35,9 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a live session — keep going
+    from feature_store_test_spark.bootstrap import ship_package
+
+    ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

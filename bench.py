@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes fully via the noop sink (no driver-side collect cost for
+large result sets); per-query wall time includes planning + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q01_pricing_summary",       # scan + 6-group agg over lineitem
+    "q05_local_supplier_volume", # 6-table join
+    "q08_latest_event_per_user", # ranking window (online-view primitive)
+    "q09_running_total",         # frame window over orders
+    "q15_asof_join",             # merge-scan as-of join
+    "q16_engineer_features",     # feature-engineering agg
+    "q18_incremental_avg",       # window + weighted fold
+    "q21_minhash_near_dups",     # MinHash+LSH dedup pipeline
+    "q26_token_counts",          # regexp text analysis
+    "q28_cosine_topk",           # brute-force ANN
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from feature_store_test_spark.registry import all_queries
+    from feature_store_test_spark.session import get_spark
+
+    spark = get_spark(app_name="fsts-bench")
+    specs = all_queries()
+
+    # warm the JVM/codegen paths once on the smallest SF so measured times
+    # reflect execution, not first-call JIT noise
+    specs["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

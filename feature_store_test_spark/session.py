@@ -64,4 +64,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from feature_store_test_spark.bootstrap import ship_package
+
+    ship_package(spark)
     return spark

@@ -1,0 +1,216 @@
+"""Feature groups: the reference's store API re-expressed set-oriented.
+
+Reference surface (/root/reference/core/feature_store_manager.py):
+    create_feature_group    :72-106   → FeatureStore.create / FeatureGroup
+    ingest_features         :108-119  → FeatureGroup.ingest (one commit, not
+                                        per-row PutRecord with max_workers=1)
+    build_training_dataset  :121-153  → FeatureGroup.training_dataset (spark.sql)
+    customer_features_exist :155-172  → FeatureGroup.exists / exists_batch
+    get_latest_features     :184-204  → FeatureGroup.get_latest / online_view
+    add_customer_features   :206-238  → FeatureGroup.upsert (NOT MATCHED arm)
+    update_customer_features:240-282  → FeatureGroup.upsert (MATCHED arm,
+                                        (old+new)/2 rule preserved — §2.13 Q4)
+
+Everything crossing the reference's store boundary was stringly typed
+(:225-230, :269-274); here columns keep native Spark types end-to-end
+(SURVEY.md §1.2).
+
+"Latest" semantics (SURVEY.md §2.13 Q1/Q5): the online view ranks history by
+arrival order (_commit_version) in parity mode — last write wins, matching
+the reference's put-overwrites behavior — or by event time in strict mode;
+both use the feature-group key + event-time declared at creation, with a
+deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feature_store_test_spark.operators.latest import latest_per_key
+from feature_store_test_spark.store.table import VersionedParquetTable
+
+
+@dataclass
+class FeatureGroup:
+    """A named, typed feature table with a record key and event-time column."""
+
+    spark: SparkSession
+    name: str
+    schema: T.StructType
+    key_col: str
+    event_time_col: str
+    table: VersionedParquetTable
+
+    # value column -> is it an incremental average maintained by the
+    # reference's (old+new)/2 rule on update?
+    @property
+    def feature_cols(self) -> list[str]:
+        return [
+            f.name
+            for f in self.schema.fields
+            if f.name not in (self.key_col, self.event_time_col)
+        ]
+
+    # -- ingestion ----------------------------------------------------------
+    def ingest(self, df: DataFrame) -> int:
+        """Batch ingest: ONE atomic commit to the offline history.
+
+        Replaces the reference's serial per-row PutRecord loop
+        (max_workers=1, :108-119) with an executor-parallel parquet write.
+        """
+        return self.table.append(df.select(*self.schema.fieldNames()))
+
+    # -- offline store ------------------------------------------------------
+    def offline_history(self, as_of_version: int | None = None) -> DataFrame:
+        """Every version of every record (append-only history)."""
+        return self.table.read(as_of_version)
+
+    def training_dataset(self, columns: list[str] | None = None) -> DataFrame:
+        """The reference's Athena training query on Spark SQL (§3.2):
+        full history, projected and ordered — Q3 semantics preserved
+        (no dedup; docstring-vs-behavior quirk resolved in favor of code).
+        """
+        cols = columns or [self.key_col, *self.feature_cols]
+        view = f"__fg_{self.name}_history"
+        self.offline_history().createOrReplaceTempView(view)
+        col_list = ", ".join(cols)
+        return self.spark.sql(
+            f"SELECT {col_list} FROM {view} "
+            f"ORDER BY {self.key_col}, {self.event_time_col} DESC"
+        )
+
+    # -- online store -------------------------------------------------------
+    def online_view(self, strict_event_time: bool = False) -> DataFrame:
+        """Latest record per key.
+
+        parity mode (default): last-ARRIVAL wins (commit sequence, then
+        event time) — reproduces the reference's put-overwrites behavior
+        including its retry-out-of-order quirk (§2.13 Q5).
+        strict mode: last-EVENT-TIME wins regardless of arrival.
+        """
+        hist = self.offline_history()
+        if strict_event_time:
+            order = [F.col(self.event_time_col).desc(), F.col("_commit_version").desc()]
+        else:
+            order = [F.col("_commit_version").desc(), F.col(self.event_time_col).desc()]
+        return latest_per_key(hist, self.key_col, order).drop("_commit_version")
+
+    def exists_batch(self, keys: DataFrame) -> DataFrame:
+        """Which of the given keys have a stored record (left semi join) —
+        the set-oriented form of customer_features_exist (:155-172)."""
+        return keys.join(
+            self.online_view().select(self.key_col),
+            on=self.key_col,
+            how="left_semi",
+        )
+
+    def exists(self, key_value) -> bool:
+        return (
+            self.online_view()
+            .where(F.col(self.key_col) == F.lit(key_value))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    def get_latest(self, key_value) -> dict | None:
+        """Point read of the latest record (get_latest_features :184-204).
+
+        Scan-based here; at serving scale this view is cached / key-
+        partitioned (documented scope: micro-batch freshness, like the
+        reference outsourcing ms-latency serving to AWS).
+        """
+        rows = (
+            self.online_view().where(F.col(self.key_col) == F.lit(key_value)).collect()
+        )
+        return rows[0].asDict() if rows else None
+
+    # -- upsert (the feature-store core) ------------------------------------
+    def upsert(self, updates: DataFrame, value_col_map: dict[str, str]) -> int:
+        """MERGE semantics as an append of computed rows (§2.10 U1/U2).
+
+        ``updates``: one row per key — columns: key, event_time, and one NEW
+        observation column per entry of ``value_col_map``.
+        ``value_col_map``: {new_observation_col -> (latest_col, avg_col)
+        prefix}, e.g. {"purchase_value": "purchase_value"} maintains
+        latest_purchase_value and avg_purchase_value.
+
+        MATCHED: latest := new, avg := (old_avg + new) / 2  — the
+        reference's exponential-decay rule preserved exactly (§2.13 Q4,
+        /root/reference/core/feature_store_manager.py:258-264).
+        NOT MATCHED: latest := new, avg := new (initialization,
+        add_customer_features :206-238).
+
+        The online view stays a derived window over history, so this
+        "merge" writes only the new version rows — no table rewrite. On
+        Delta this maps 1:1 to MERGE WHEN (NOT) MATCHED.
+        """
+        current = self.online_view()
+        upd = updates.alias("u")
+        cur = current.alias("c")
+        joined = upd.join(cur, on=self.key_col, how="left")
+
+        out_cols = [
+            F.col(f"u.{self.key_col}").alias(self.key_col),
+            F.col(f"u.{self.event_time_col}").alias(self.event_time_col),
+        ]
+        handled = {self.key_col, self.event_time_col}
+        for obs_col, prefix in value_col_map.items():
+            latest_c, avg_c = f"latest_{prefix}", f"avg_{prefix}"
+            out_cols.append(F.col(f"u.{obs_col}").alias(latest_c))
+            out_cols.append(
+                F.when(
+                    F.col(f"c.{avg_c}").isNull(), F.col(f"u.{obs_col}")
+                )
+                .otherwise((F.col(f"c.{avg_c}") + F.col(f"u.{obs_col}")) / 2.0)
+                .alias(avg_c)
+            )
+            handled |= {latest_c, avg_c}
+        # passthrough feature columns not maintained by the update rule:
+        for c in self.feature_cols:
+            if c not in handled:
+                out_cols.append(F.coalesce(F.col(f"u.{c}"), F.col(f"c.{c}")).alias(c))
+
+        new_rows = joined.select(*out_cols).select(*self.schema.fieldNames())
+        return self.ingest(new_rows)
+
+
+class FeatureStore:
+    """Feature-group registry (replaces the reference's hardcoded name
+    literals — §2.13 Q6 — with a single catalog rooted at base_path)."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+        self._groups: dict[str, FeatureGroup] = {}
+
+    def create(
+        self,
+        name: str,
+        schema: T.StructType,
+        key_col: str,
+        event_time_col: str,
+    ) -> FeatureGroup:
+        if key_col not in schema.fieldNames() or event_time_col not in schema.fieldNames():
+            raise ValueError("key/event-time column must be part of the schema")
+        table = VersionedParquetTable(
+            self.spark, os.path.join(self.base_path, name), schema
+        )
+        fg = FeatureGroup(
+            spark=self.spark,
+            name=name,
+            schema=schema,
+            key_col=key_col,
+            event_time_col=event_time_col,
+            table=table,
+        )
+        self._groups[name] = fg
+        return fg
+
+    def get(self, name: str) -> FeatureGroup:
+        return self._groups[name]

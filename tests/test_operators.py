@@ -1,0 +1,59 @@
+"""Operator edge cases not covered by the oracle queries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from feature_store_test_spark.operators.asof import asof_join
+from feature_store_test_spark.operators.latest import latest_per_key
+
+
+def ts(h):
+    return dt.datetime(2024, 1, 1, h)
+
+
+def test_asof_strict_vs_nonstrict_on_equal_timestamps(spark):
+    left = spark.createDataFrame(
+        [(1, ts(5), "L1")], "k long, t timestamp, lbl string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(5), 100.0), (1, ts(3), 50.0)], "k long, rt timestamp, v double"
+    )
+    nonstrict = asof_join(left, right, "k", "t", "rt", ["v"]).collect()[0]
+    strict = asof_join(left, right, "k", "t", "rt", ["v"], strict=True).collect()[0]
+    assert nonstrict.v == 100.0  # ties visible when non-strict
+    assert strict.v == 50.0  # equal-time right row excluded when strict
+
+
+def test_asof_no_match_yields_nulls(spark):
+    left = spark.createDataFrame([(1, ts(1), "L")], "k long, t timestamp, lbl string")
+    right = spark.createDataFrame([(1, ts(9), 1.0)], "k long, rt timestamp, v double")
+    out = asof_join(left, right, "k", "t", "rt", ["v"]).collect()[0]
+    assert out.v is None
+
+
+def test_asof_key_isolation(spark):
+    left = spark.createDataFrame([(1, ts(5), "L")], "k long, t timestamp, lbl string")
+    right = spark.createDataFrame([(2, ts(1), 7.0)], "k long, rt timestamp, v double")
+    assert asof_join(left, right, "k", "t", "rt", ["v"]).collect()[0].v is None
+
+
+def test_asof_rejects_column_collisions(spark):
+    left = spark.createDataFrame([(1, ts(1), 2.0)], "k long, t timestamp, v double")
+    right = spark.createDataFrame([(1, ts(1), 3.0)], "k long, rt timestamp, v double")
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", "t", "rt", ["v"])
+
+
+def test_latest_per_key_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, ts(5), 10, "a"), (1, ts(5), 11, "b"), (2, ts(1), 1, "c")],
+        "k long, t timestamp, id long, val string",
+    )
+    out = latest_per_key(df, "k", [F.col("t").desc(), F.col("id").desc()])
+    got = {r.k: r.val for r in out.collect()}
+    assert got == {1: "b", 2: "c"}  # id=11 wins the equal-ts tie

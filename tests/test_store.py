@@ -1,0 +1,149 @@
+"""Versioned table + feature group semantics (SURVEY §2.10 U1-U3, §2.13 Q4/Q5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feature_store_test_spark.store import FeatureStore, VersionedParquetTable
+
+FG_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.LongType()),
+        T.StructField("purchase_timestamp", T.TimestampType()),
+        T.StructField("latest_purchase_value", T.DoubleType()),
+        T.StructField("avg_purchase_value", T.DoubleType()),
+        T.StructField("avg_loyalty_score", T.DoubleType()),
+        T.StructField("latest_loyalty_score", T.DoubleType()),
+    ]
+)
+
+
+def ts(day: int) -> dt.datetime:
+    return dt.datetime(2024, 1, day)
+
+
+def make_fg(spark, tmp_path, name="fg"):
+    store = FeatureStore(spark, str(tmp_path))
+    return store.create(name, FG_SCHEMA, "customer_id", "purchase_timestamp")
+
+
+def row(cid, day, lpv, apv, als, lls):
+    return (cid, ts(day), lpv, apv, als, lls)
+
+
+def test_versioned_table_append_and_time_travel(spark, tmp_path):
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    t = VersionedParquetTable(spark, str(tmp_path / "t"), schema)
+    assert t.read().count() == 0
+    v1 = t.append(spark.createDataFrame([(1,), (2,)], schema))
+    v2 = t.append(spark.createDataFrame([(3,)], schema))
+    assert (v1, v2) == (1, 2)
+    assert t.read().count() == 3
+    assert t.read(as_of_version=1).count() == 2  # time travel
+    assert set(t.read().select("_commit_version").distinct().toPandas()["_commit_version"]) == {1, 2}
+
+
+def test_versioned_table_rejects_bad_schema(spark, tmp_path):
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    t = VersionedParquetTable(spark, str(tmp_path / "t"), schema)
+    bad = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(bad)
+
+
+def test_online_view_is_latest_and_offline_keeps_history(spark, tmp_path):
+    fg = make_fg(spark, tmp_path)
+    fg.ingest(spark.createDataFrame([row(1, 1, 10.0, 10.0, 5.0, 5.0)], FG_SCHEMA))
+    fg.ingest(spark.createDataFrame([row(1, 2, 20.0, 15.0, 6.0, 7.0)], FG_SCHEMA))
+    assert fg.offline_history().count() == 2  # every version kept
+    online = fg.online_view().collect()
+    assert len(online) == 1
+    assert online[0].latest_purchase_value == 20.0
+
+
+def test_point_read_and_exists(spark, tmp_path):
+    fg = make_fg(spark, tmp_path)
+    fg.ingest(spark.createDataFrame([row(7, 1, 10.0, 10.0, 5.0, 5.0)], FG_SCHEMA))
+    assert fg.exists(7)
+    assert not fg.exists(8)
+    rec = fg.get_latest(7)
+    assert rec is not None and rec["avg_loyalty_score"] == 5.0
+    assert fg.get_latest(8) is None
+
+
+def test_upsert_matched_applies_old_plus_new_over_2(spark, tmp_path):
+    """(old+new)/2 — preserved exactly, NOT a running mean (§2.13 Q4)."""
+    fg = make_fg(spark, tmp_path)
+    fg.ingest(spark.createDataFrame([row(1, 1, 10.0, 10.0, 5.0, 5.0)], FG_SCHEMA))
+    updates = spark.createDataFrame(
+        [(1, ts(2), 30.0, 9.0)],
+        "customer_id long, purchase_timestamp timestamp, "
+        "purchase_value double, loyalty_score double",
+    )
+    fg.upsert(updates, {"purchase_value": "purchase_value", "loyalty_score": "loyalty_score"})
+    rec = fg.get_latest(1)
+    assert rec["latest_purchase_value"] == 30.0
+    assert rec["avg_purchase_value"] == (10.0 + 30.0) / 2
+    assert rec["avg_loyalty_score"] == (5.0 + 9.0) / 2
+    assert rec["latest_loyalty_score"] == 9.0
+    # chain a second update: exponential decay, not running mean
+    fg.upsert(
+        spark.createDataFrame(
+            [(1, ts(3), 50.0, 1.0)],
+            "customer_id long, purchase_timestamp timestamp, "
+            "purchase_value double, loyalty_score double",
+        ),
+        {"purchase_value": "purchase_value", "loyalty_score": "loyalty_score"},
+    )
+    rec = fg.get_latest(1)
+    assert rec["avg_purchase_value"] == (20.0 + 50.0) / 2  # (old_avg+new)/2
+    assert rec["avg_loyalty_score"] == (7.0 + 1.0) / 2
+
+
+def test_upsert_not_matched_initializes_averages(spark, tmp_path):
+    """Insert arm: averages start at the observation (U1, fsm.py:206-238)."""
+    fg = make_fg(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [(42, ts(1), 12.0, 3.0)],
+        "customer_id long, purchase_timestamp timestamp, "
+        "purchase_value double, loyalty_score double",
+    )
+    fg.upsert(updates, {"purchase_value": "purchase_value", "loyalty_score": "loyalty_score"})
+    rec = fg.get_latest(42)
+    assert rec["avg_purchase_value"] == 12.0
+    assert rec["latest_purchase_value"] == 12.0
+    assert rec["avg_loyalty_score"] == 3.0
+
+
+def test_parity_vs_strict_latest_modes(spark, tmp_path):
+    """§2.13 Q5: arrival-order (parity) vs event-time (strict) last-write-wins."""
+    fg = make_fg(spark, tmp_path)
+    # second commit carries an OLDER event time (a retried stale event)
+    fg.ingest(spark.createDataFrame([row(1, 5, 50.0, 50.0, 5.0, 5.0)], FG_SCHEMA))
+    fg.ingest(spark.createDataFrame([row(1, 2, 20.0, 20.0, 2.0, 2.0)], FG_SCHEMA))
+    parity = fg.online_view(strict_event_time=False).collect()[0]
+    strict = fg.online_view(strict_event_time=True).collect()[0]
+    assert parity.latest_purchase_value == 20.0  # last arrival wins
+    assert strict.latest_purchase_value == 50.0  # last event time wins
+
+
+def test_training_dataset_full_history(spark, tmp_path):
+    """Q3 semantics: training set keeps every version (no dedup)."""
+    fg = make_fg(spark, tmp_path)
+    fg.ingest(spark.createDataFrame([row(1, 1, 10.0, 10.0, 5.0, 5.0)], FG_SCHEMA))
+    fg.ingest(spark.createDataFrame([row(1, 2, 20.0, 15.0, 6.0, 7.0)], FG_SCHEMA))
+    td = fg.training_dataset()
+    assert td.count() == 2
+    assert "customer_id" in td.columns
+
+
+def test_exists_batch_semi_join(spark, tmp_path):
+    fg = make_fg(spark, tmp_path)
+    fg.ingest(spark.createDataFrame([row(1, 1, 10.0, 10.0, 5.0, 5.0)], FG_SCHEMA))
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "customer_id long")
+    present = fg.exists_batch(keys).collect()
+    assert [r.customer_id for r in present] == [1]
