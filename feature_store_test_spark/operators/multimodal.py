@@ -1,0 +1,96 @@
+"""Multimodal column plumbing (north-star: image/audio/video at 100 TB).
+
+Model: media rides as an opaque ``binary`` column next to typed metadata
+(format, byte size, content fingerprint). All *plumbing* — schemas,
+partition behavior, Arrow batch shapes, frame fan-out — is real and tested;
+the codec step itself is stubbed because no image/audio libraries exist in
+this container:
+
+- ``decode_media`` raises NotImplementedError by default (clearly-marked
+  stub), or applies a deterministic fake decode (``fake=True``) whose
+  outputs are pure functions of the bytes — so the whole pipeline is
+  testable and oracle-checkable end to end.
+
+Scale notes: binary payloads make row sizes large and skewed — the batch
+size knob on mapInPandas (spark.sql.execution.arrow.maxRecordsPerBatch)
+bounds executor memory, and blob columns are kept OUT of shuffles: extract
+metadata first (JVM-side), shuffle the small typed columns, join blobs back
+by key only where a consumer needs bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_fp", T.StringType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+    ]
+)
+
+
+def blob_meta(blob: str | Column) -> Column:
+    """Typed metadata struct extracted JVM-side (no Python in this path):
+    byte length, md5 fingerprint, and a magic-byte format guess."""
+    b = F.col(blob) if isinstance(blob, str) else blob
+    first = F.substring(F.hex(b), 1, 2)
+    fmt = (
+        F.when(first == "FF", F.lit("jpeg-like"))
+        .when(first == "89", F.lit("png-like"))
+        .when(first == "52", F.lit("riff-like"))
+        .otherwise(F.lit("unknown"))
+    )
+    return F.struct(
+        F.octet_length(b).alias("n_bytes"),
+        F.md5(b).alias("content_fp"),
+        fmt.alias("format"),
+    )
+
+
+def decode_media(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    frame_size: int = 256,
+    fake: bool = False,
+) -> DataFrame:
+    """Frame-sample a media blob into FRAME_SCHEMA rows via mapInPandas.
+
+    Real deployments plug a codec (PIL/ffmpeg/torchaudio) into ``_frames``;
+    this container has none, so ``fake=False`` raises NotImplementedError
+    (STUB — clearly marked), and ``fake=True`` runs a deterministic fake
+    codec: the blob is cut into ``frame_size``-byte windows, each emitting
+    (frame_idx, md5(window), len(window)). Deterministic in the bytes, so
+    the full pipeline — Arrow batching, fan-out schema, partition behavior —
+    is exercised and oracle-checked without any media library.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "pass fake=True for the deterministic stub codec"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_fp": [], "frame_bytes": []}
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob)
+                for i in range(0, max(len(data), 1), frame_size):
+                    window = data[i : i + frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i // frame_size)
+                    out["frame_fp"].append(hashlib.md5(window).hexdigest())
+                    out["frame_bytes"].append(len(window))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(gen, FRAME_SCHEMA)

@@ -77,3 +77,92 @@ def cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the 100 TB scale path)
+# ---------------------------------------------------------------------------
+
+def _hyperplane_coefs(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 digests
+    (no RNG state, reproducible across engines/runs — the same determinism
+    discipline as the minhash family). Coefficient for (plane p, dim d) =
+    first md5 nibble of "p_d" minus 7.5 → symmetric around 0."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) - 7.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec_col: str | Column, n_planes: int, dim: int) -> Column:
+    """Random-hyperplane bucket id: one sign bit per plane, as a bit string.
+
+    Cosine-LSH property: P(two vectors agree on a plane) = 1 - θ/π, so
+    near-duplicate vectors land in the same bucket with high probability
+    while the corpus spreads over 2^n_planes buckets.
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    coefs = _hyperplane_coefs(n_planes, dim)
+    bits = []
+    for plane in coefs:
+        c = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates.
+
+    Scale shape: corpus is bucketed once (a narrow derived column, ideal
+    for partitioning a stored index table by bucket); each query joins its
+    bucket — an equi-join on bucket id instead of a full cross-product, so
+    scoring cost drops by ~2^n_planes. Recall is data-dependent (near-dup
+    heavy corpora recall well; uniformly random vectors mostly don't
+    collide) — the brute-force operator stays the exact baseline.
+    """
+    bq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(vec_col, n_planes, dim).alias("bucket"),
+    )
+    bc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket(vec_col, n_planes, dim).alias("bucket"),
+    )
+    scored = (
+        bc.join(F.broadcast(bq), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("__qv", "__cv"), round_dp).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -6,11 +6,15 @@ Modules:
     dedup           exact + near-duplicate detection (north-star)
     text            text analysis: tokens, language id, quality, fingerprints (north-star)
     similarity      embedding similarity search (north-star)
+    multimodal      binary media columns + stub codec plumbing (north-star)
+    extended        pandas UDFs, event-time windows, cube, approx aggs, LSH ANN
 """
 
 from feature_store_test_spark.queries import (  # noqa: F401
     dedup,
+    extended,
     feature_parity,
+    multimodal,
     relational,
     similarity,
     text,

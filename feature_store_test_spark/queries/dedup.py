@@ -13,12 +13,7 @@ from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
 from feature_store_test_spark.operators import text as Tx
-from feature_store_test_spark.operators.dedup import (
-    jaccard_verify,
-    lsh_candidate_pairs,
-    minhash_signatures,
-    word_shingles,
-)
+from feature_store_test_spark.operators.dedup import minhash_near_dups
 from feature_store_test_spark.registry import register
 
 
@@ -131,10 +126,10 @@ _JACCARD_T = 0.5
 )
 def q21_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    sh = word_shingles(docs, "doc_id", "text", n=3)
-    sigs = minhash_signatures(sh, "doc_id", k=_MINHASH_K)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS)
-    return jaccard_verify(sh, pairs, "doc_id", threshold=_JACCARD_T)
+    return minhash_near_dups(
+        docs, "doc_id", "text",
+        n=3, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=_JACCARD_T,
+    )
 
 
 # ---------------------------------------------------------------------------

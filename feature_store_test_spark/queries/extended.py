@@ -1,0 +1,204 @@
+"""Extended relational + UDF surface: pandas UDFs, event-time windows,
+cube/grouping sets, correlated predicates, approximate aggregates, LSH ANN.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feature_store_test_spark.data import load_table
+from feature_store_test_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Q33 — scalar pandas UDF (§2.11): Arrow-vectorized scoring in Python.
+# The declared semantic is the formula; the oracle reproduces it in SQL.
+# Python stays OFF the hot path elsewhere — this query IS the UDF surface.
+# ---------------------------------------------------------------------------
+@F.pandas_udf(T.DoubleType())
+def _pandas_quality(text: pd.Series) -> pd.Series:
+    import numpy as np
+
+    n_chars = text.str.len().to_numpy(dtype="float64")
+    n_words = text.str.split(" ").map(len).to_numpy(dtype="float64")
+    n_uniq = text.str.split(" ").map(lambda w: len(set(w))).to_numpy(dtype="float64")
+    score = 0.3 * np.minimum(n_chars / 400.0, 1.0) + 0.7 * (n_uniq / n_words)
+    # half-away-from-zero at 6 dp (np.round is banker's rounding, which
+    # disagrees with SQL ROUND on exact x.xxxxxx5 ties)
+    return pd.Series(np.floor(score * 1e6 + 0.5) / 1e6)
+
+
+@register(
+    "q33_pandas_udf_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(0.3 * LEAST(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+               + 0.7 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / len(string_split(text, ' '))), 6) AS pandas_score
+    FROM documents
+    """,
+    doc="Arrow-batched scalar pandas UDF (vectorized numpy scoring)",
+    tags=("udf", "text"),
+)
+def q33_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", _pandas_quality("text").alias("pandas_score"))
+
+
+# ---------------------------------------------------------------------------
+# Q34 — event-time tumbling windows (§2.9): the batch shape of the
+# Structured Streaming windowed agg (same F.window operator; in streaming it
+# composes with withWatermark).
+# ---------------------------------------------------------------------------
+@register(
+    "q34_tumbling_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="15-minute tumbling event-time windows (streaming agg shape)",
+    tags=("window", "streaming", "agg"),
+)
+def q34_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q35 — CUBE grouping sets with GROUPING flags (§2.4 extension).
+# ---------------------------------------------------------------------------
+@register(
+    "q35_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over status × priority with grouping flags",
+    tags=("agg", "rollup"),
+)
+def q35_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q36 — correlated predicate via window (customers above their nation's
+# average balance). At 100 TB the window form beats the correlated-subquery
+# form: one shuffle on nation vs a per-row rescan.
+# ---------------------------------------------------------------------------
+@register(
+    "q36_above_nation_avg",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ROUND(nation_avg, 6) AS nation_avg
+    FROM (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             AVG(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+      FROM customer
+    )
+    WHERE c_acctbal > nation_avg
+    """,
+    doc="customers above their nation's average balance (decorrelated window)",
+    tags=("window", "filter"),
+)
+def q36_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.round("nation_avg", 6).alias("nation_avg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q37 — approximate distinct (HLL, one pass — the 100 TB default where exact
+# COUNT(DISTINCT) would double-shuffle). No oracle: HLL sketches are
+# implementation-specific; the pytest suite asserts <5% error vs exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q37_approx_distinct",
+    oracle=None,
+    doc="approx_count_distinct (HLL) per market segment — rows-only check",
+    tags=("agg", "approx"),
+)
+def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q38 — LSH-bucketed approximate nearest neighbors (the scale path; Q28 is
+# the exact baseline). No oracle: bucket membership hinges on sign bits of
+# floating dot products whose summation order differs across engines; the
+# pytest suite checks determinism and bucket-restricted exactness instead.
+# ---------------------------------------------------------------------------
+@register(
+    "q38_lsh_ann_topk",
+    oracle=None,
+    doc="ANN top-5 via random-hyperplane LSH buckets — rows-only check",
+    tags=("similarity", "lsh", "approx"),
+)
+def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.similarity import lsh_ann_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return lsh_ann_topk(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 20),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_planes=4,
+    )

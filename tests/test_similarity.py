@@ -1,0 +1,76 @@
+"""ANN operators: exact baseline vs LSH bucket path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feature_store_test_spark.data import load_table
+from feature_store_test_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+    lsh_bucket,
+)
+
+
+def test_lsh_bucket_deterministic(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    b1 = emb.select("vec_id", lsh_bucket("embedding", 4, 64).alias("b"))
+    b2 = emb.select("vec_id", lsh_bucket("embedding", 4, 64).alias("b"))
+    assert sorted(map(tuple, b1.collect())) == sorted(map(tuple, b2.collect()))
+    n_buckets = b1.select("b").distinct().count()
+    assert 2 <= n_buckets <= 16  # 4 planes → at most 16 buckets, spread out
+
+
+def test_lsh_ann_is_bucket_restricted_exact(spark, sf_dir):
+    """Within a bucket, the LSH result must equal brute force restricted to
+    that bucket — approximation comes only from bucket pruning."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 20)
+    ann = lsh_ann_topk(emb, queries, k=5, n_planes=4)
+    buckets = emb.select(
+        F.col("vec_id").alias("neighbor_id"), lsh_bucket("embedding", 4, 64).alias("b")
+    )
+    qb = buckets.withColumnRenamed("neighbor_id", "query_id").withColumnRenamed("b", "qb")
+    # every reported neighbor shares the query's bucket
+    joined = (
+        ann.join(buckets, "neighbor_id").join(qb, "query_id")
+    )
+    assert joined.where(F.col("b") != F.col("qb")).count() == 0
+    # ranking within bucket matches the exact operator on the same candidates
+    exact = cosine_topk(emb, queries, k=500)  # full ranking
+    exact_in_bucket = (
+        exact.join(buckets, "neighbor_id")
+        .join(qb, "query_id")
+        .where(F.col("b") == F.col("qb"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    expected = (
+        exact_in_bucket.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 5)
+        .select("query_id", "neighbor_id", F.col("r").alias("rank"), "cos_sim")
+    )
+    got = sorted(map(tuple, ann.collect()))
+    want = sorted(map(tuple, expected.collect()))
+    assert got == want
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from feature_store_test_spark.queries.extended import q37_approx_distinct
+
+    approx = {
+        r.c_mktsegment: r.approx_customers
+        for r in q37_approx_distinct(spark, sf_dir).collect()
+    }
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    exact = {
+        r.c_mktsegment: r.n
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for seg, n in exact.items():
+        assert abs(approx[seg] - n) / n < 0.05, (seg, approx[seg], n)
