@@ -39,6 +39,18 @@ def test_save_load_roundtrip(spark, engineered, tmp_path):
     assert a == pytest.approx(b)
 
 
+def test_random_split_train_holdout(spark, engineered):
+    """M1: the reference's offline 70/30 split (README.md:33-36) as
+    randomSplit; deterministic under a fixed seed."""
+    train, test = engineered.randomSplit([0.7, 0.3], seed=42)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == engineered.count()
+    t2, _ = engineered.randomSplit([0.7, 0.3], seed=42)
+    assert t2.count() == n_train  # same seed → same split
+    model = train_model(train)
+    assert score(model, test).count() == n_test
+
+
 def test_linear_scorer_matches_model(spark, engineered):
     """The exported fold-side scorer reproduces model.transform exactly."""
     model = train_model(engineered)
