@@ -35,7 +35,17 @@ def main() -> None:
     from feature_store_test_spark.registry import all_queries
     from feature_store_test_spark.session import get_spark
 
-    spark = get_spark(app_name="fsts-bench")
+    # Local-bench scan parallelism: the sf0.1 files are ~1-10 MB, so the
+    # 128 MB default split yields 1-3 scan partitions on a 32-thread local
+    # master. 4 MB splits spread the scan; a real cluster at 100 TB keeps
+    # the default (128 MB splits ≈ one task per HDFS/S3 block).
+    spark = get_spark(
+        app_name="fsts-bench",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "512k",
+        },
+    )
     specs = all_queries()
 
     # warm the JVM/codegen paths once on the smallest SF so measured times

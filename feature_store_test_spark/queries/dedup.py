@@ -191,3 +191,73 @@ def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("simhash16")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q39 — SimHash near-dup pairs via band pigeonhole: if two 16-bit
+# fingerprints differ in ≤ 2 bits, at least 2 of 4 contiguous 4-bit bands
+# are identical — so candidates come from an equi-join on band values (4
+# small shuffles) instead of an O(n²) cross-join; exact hamming distance is
+# then computed only on candidates. Complete w.r.t. the naive pair scan
+# (pigeonhole guarantee), which is exactly what the oracle runs.
+# ---------------------------------------------------------------------------
+_HAMMING_T = 2
+
+@register(
+    "q39_simhash_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, j,
+             SUM(strpos('0123456789abcdef', substr(md5(w), j, 1)) - 1 - 7.5) AS v
+      FROM tok, unnest(generate_series(1, 16)) AS p(j)
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS f
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(({" + ".join(f"CASE WHEN substr(a.f,{j},1) <> substr(b.f,{j},1) THEN 1 ELSE 0 END" for j in range(1, 17))}) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE ({" + ".join(f"CASE WHEN substr(a.f,{j},1) <> substr(b.f,{j},1) THEN 1 ELSE 0 END" for j in range(1, 17))}) <= {_HAMMING_T}
+    """,
+    doc=f"simhash near-dup pairs (hamming <= {_HAMMING_T}) via band-pigeonhole candidate join",
+    tags=("dedup", "simhash", "join"),
+)
+def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = q22_simhash(spark, sf_dir).select(
+        "doc_id", F.col("simhash16").alias("f")
+    ).cache()
+    # pigeonhole bands: 4 bands × 4 bits; hamming<=2 ⇒ some band equal
+    banded = fp.select(
+        "doc_id", "f",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.substring("f", 1 + 4 * b, 4).alias("val"))
+                for b in range(4)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "f", F.col("e.band").alias("band"), F.col("e.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+            F.col("a.f").alias("fa"), F.col("b.f").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.when(F.substring("fa", j, 1) != F.substring("fb", j, 1), 1).otherwise(0)
+        for j in range(1, 17)
+    ).cast("int")
+    return (
+        cands.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= _HAMMING_T)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -202,3 +202,64 @@ def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_planes=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q40 — gap-based sessionization (session windows, the streaming session-
+# window shape in its batch form): a new session starts after a >30-minute
+# silence; session id = running count of session starts per user. One
+# shuffle on user_id; both window passes share the same partitioning.
+# ---------------------------------------------------------------------------
+@register(
+    "q40_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="30-minute-gap sessionization (session windows, batch form)",
+    tags=("window", "streaming", "agg"),
+)
+def q40_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "value",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+    )
