@@ -195,11 +195,18 @@ class FeatureStore:
         schema: T.StructType,
         key_col: str,
         event_time_col: str,
+        partition_cols: list[str] | None = None,
     ) -> FeatureGroup:
+        """``partition_cols``: optional low-cardinality schema columns (e.g.
+        a derived event DATE) for hive-partitioned storage — time-range
+        reads then prune whole directories (SURVEY §4 'partition pruning')."""
         if key_col not in schema.fieldNames() or event_time_col not in schema.fieldNames():
             raise ValueError("key/event-time column must be part of the schema")
         table = VersionedParquetTable(
-            self.spark, os.path.join(self.base_path, name), schema
+            self.spark,
+            os.path.join(self.base_path, name),
+            schema,
+            partition_cols=partition_cols,
         )
         fg = FeatureGroup(
             spark=self.spark,

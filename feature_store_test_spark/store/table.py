@@ -36,10 +36,25 @@ _DATA_DIR = "data"
 
 
 class VersionedParquetTable:
-    def __init__(self, spark: SparkSession, path: str, schema: T.StructType):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        partition_cols: list[str] | None = None,
+    ):
+        """``partition_cols`` (must be schema columns) become hive-style
+        directory partitions inside every commit — readers filtering on
+        them get partition pruning (directories skipped before any IO),
+        the storage-layout half of the 100 TB story. Use low-cardinality
+        derived columns (event DATE, not timestamp)."""
         self.spark = spark
         self.path = path
         self.schema = schema
+        self.partition_cols = partition_cols or []
+        missing = set(self.partition_cols) - set(schema.fieldNames())
+        if missing:
+            raise ValueError(f"partition columns not in schema: {sorted(missing)}")
 
     # -- log helpers --------------------------------------------------------
     @property
@@ -77,7 +92,10 @@ class VersionedParquetTable:
         os.makedirs(self._log_path, exist_ok=True)
         version = (self.latest_version() or 0) + 1
         data_dir = os.path.join(self.path, _DATA_DIR, f"v{version:010d}-{uuid.uuid4().hex[:8]}")
-        df.write.mode("errorifexists").parquet(data_dir)
+        writer = df.write.mode("errorifexists")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(data_dir)
 
         commit = {
             "version": version,
@@ -112,11 +130,12 @@ class VersionedParquetTable:
         for v in versions:
             with open(self._commit_file(v)) as f:
                 commit = json.load(f)
-            parts.append(
+            part = (
                 self.spark.read.schema(self.schema)
                 .parquet(commit["data_dir"])
                 .withColumn("_commit_version", F.lit(v))
             )
+            parts.append(part.select(*self.schema.fieldNames(), "_commit_version"))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -1,0 +1,57 @@
+"""applyInPandasWithState: executor-state fold across real micro-batches."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_test_spark.sources import stream_source
+from feature_store_test_spark.streaming.stateful import stateful_incremental_avg
+from tests.test_streaming import closed_form_state, events_as_purchases
+
+
+def test_stateful_fold_across_micro_batches(spark, sf_dir, tmp_path):
+    ev = events_as_purchases(spark, sf_dir)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # two files with distinct mtimes → two micro-batches in arrival order
+    # that matches event-time order → state must equal the closed form
+    early = ev.where(F.col("purchase_timestamp") < "2024-01-15")
+    late = ev.where(F.col("purchase_timestamp") >= "2024-01-15")
+    early.coalesce(1).write.parquet(src + "/b1")
+    time.sleep(1.1)  # file-source orders batches by modification time
+    late.coalesce(1).write.parquet(src + "/b2")
+
+    stream = stream_source(
+        spark,
+        src + "/*",
+        ev.schema,
+        max_files_per_trigger=1,
+    )
+    q = (
+        stateful_incremental_avg(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.table("state_out")
+    # update mode emits one row per key per batch; the final state is the
+    # one with the highest event count (monotonically increasing)
+    final = {}
+    for r in out.collect():
+        if r.customer_id not in final or r.n_events > final[r.customer_id][1]:
+            final[r.customer_id] = (r.inc_avg_value, r.n_events)
+    want = closed_form_state(spark, sf_dir)
+    assert set(final) == set(want)
+    for cid, (n, inc_avg) in want.items():
+        got_avg, got_n = final[cid]
+        assert got_n == n, cid
+        assert got_avg == pytest.approx(inc_avg, abs=1e-6), cid

@@ -147,3 +147,40 @@ def test_exists_batch_semi_join(spark, tmp_path):
     keys = spark.createDataFrame([(1,), (2,), (3,)], "customer_id long")
     present = fg.exists_batch(keys).collect()
     assert [r.customer_id for r in present] == [1]
+
+
+def test_partitioned_table_prunes_directories(spark, tmp_path):
+    """Partition pruning: a date-filtered read must touch only the matching
+    partition directories (PartitionFilters in the scan, fewer files)."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+    from feature_store_test_spark.store import VersionedParquetTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("event_date", T.DateType()),
+        ]
+    )
+    t = VersionedParquetTable(
+        spark, str(tmp_path / "pt"), schema, partition_cols=["event_date"]
+    )
+    df = spark.createDataFrame(
+        [(i, float(i), dt.date(2024, 1, 1 + (i % 5))) for i in range(100)], schema
+    )
+    t.append(df)
+    full = t.read()
+    one_day = full.where(F.col("event_date") == F.lit(dt.date(2024, 1, 3)))
+    assert one_day.count() == 20
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+
+
+def test_partition_cols_must_exist(spark, tmp_path):
+    import pyspark.sql.types as T
+    from feature_store_test_spark.store import VersionedParquetTable
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    with pytest.raises(ValueError, match="partition columns"):
+        VersionedParquetTable(spark, str(tmp_path / "x"), schema, partition_cols=["nope"])
