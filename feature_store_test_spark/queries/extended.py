@@ -263,3 +263,121 @@ def q40_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q41 — skew-aware salted aggregation: same result as a plain groupBy (the
+# oracle runs the plain form) computed via two-stage salted partials —
+# the pattern that survives a single key holding 10^9 rows. Decimal
+# partials keep the two-stage sum bit-identical to the one-stage sum.
+# ---------------------------------------------------------------------------
+@register(
+    "q41_salted_agg",
+    oracle="""
+    SELECT l_suppkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    doc="two-stage salted aggregation (skew-bounded) matching the plain groupBy",
+    tags=("agg", "skew"),
+)
+def q41_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.skew import salted_agg
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = salted_agg(
+        li,
+        keys=["l_suppkey"],
+        aggs={
+            "n_items": ("sum", F.count(F.lit(1))),
+            "total_price_dec": ("sum", F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))),
+            "max_qty_dec": ("max", F.max(F.col("l_quantity").cast("decimal(18,2)"))),
+        },
+        n_salt=16,
+    )
+    return out.select(
+        "l_suppkey",
+        "n_items",
+        F.col("total_price_dec").cast("double").alias("total_price"),
+        F.col("max_qty_dec").cast("double").alias("max_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q42 — the pure-SQL frontend (§3.2: the reference's only real query engine
+# was Athena SQL; ours is spark.sql over registered views): TPC-H Q3 shape,
+# parsed/optimized/executed entirely by Catalyst.
+# ---------------------------------------------------------------------------
+@register(
+    "q42_sql_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q3 shape via the pure spark.sql frontend over registered views",
+    tags=("sql", "join", "agg", "limit"),
+)
+def q42_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.data import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 20
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q43 — per-label embedding centroids: array aggregation via posexplode →
+# per-(label, dim) mean → re-assembled array. The one-shuffle shape for
+# centroid/statistics computation over vector columns (k-means step, class
+# prototypes). Rounded per-dimension (order-insensitive at 6 dp).
+# ---------------------------------------------------------------------------
+@register(
+    "q43_label_centroids",
+    oracle="""
+    WITH dims AS (
+      SELECT label, d AS dim,
+             CAST(embedding[d] AS DOUBLE) AS val
+      FROM embeddings, unnest(generate_series(1, 64)) AS g(d)
+    )
+    SELECT label, dim - 1 AS dim,
+           ROUND(AVG(val), 6) AS centroid_val,
+           COUNT(*) AS n_vecs
+    FROM dims GROUP BY label, dim
+    """,
+    doc="per-label embedding centroids (posexplode -> per-dim mean)",
+    tags=("similarity", "agg", "array"),
+)
+def q43_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).select("label", "dim", F.col("val").cast("double").alias("val"))
+    return dims.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), 6).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

@@ -1,0 +1,100 @@
+"""Property-based checks (hypothesis).
+
+1. The closed-form (old+new)/2 weighting used by q18 equals the naive
+   sequential fold — pure-python property, thousands of cases.
+2. asof_join equals a naive per-row reference implementation on randomized
+   small inputs — few Spark-sized examples, randomized shapes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+# ---------------------------------------------------------------------- 1
+def closed_form(values: list[float]) -> float:
+    """q18's weight formula: w_i = 2^-(n-i+1) for i>=2, w_1 = 2^-(n-1)."""
+    n = len(values)
+    total = 0.0
+    for i, v in enumerate(values, start=1):
+        w = 2.0 ** (-(n - 1)) if i == 1 else 2.0 ** (-(n - i + 1))
+        total += v * w
+    return total
+
+
+def naive_fold(values: list[float]) -> float:
+    avg = values[0]
+    for v in values[1:]:
+        avg = (avg + v) / 2.0
+    return avg
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=50))
+def test_closed_form_equals_sequential_fold(values):
+    assert abs(closed_form(values) - naive_fold(values)) <= 1e-6 * max(
+        1.0, abs(naive_fold(values))
+    )
+
+
+# ---------------------------------------------------------------------- 2
+def naive_asof(left_rows, right_rows, strict):
+    out = []
+    for k, t, lbl in left_rows:
+        best = None
+        for rk, rt, v in right_rows:
+            if rk != k:
+                continue
+            if (rt < t) if strict else (rt <= t):
+                if best is None or rt >= best[0]:
+                    best = (rt, v)
+        out.append((k, t, lbl, best[1] if best else None))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2]))
+
+
+event = st.tuples(
+    st.integers(min_value=0, max_value=3),       # key
+    st.integers(min_value=0, max_value=30),      # time (hours)
+    st.integers(min_value=0, max_value=100),     # payload tag
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(event, min_size=1, max_size=12),
+    right=st.lists(event, min_size=0, max_size=12),
+    strict=st.booleans(),
+)
+def test_asof_join_matches_naive(spark, left, right, strict):
+    from feature_store_test_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(k, base + dt.timedelta(hours=t), f"L{i}") for i, (k, t, _) in enumerate(left)]
+    # make right rows unique per (key, time): keep max payload like the
+    # operator's last-in-order tie handling
+    seen = {}
+    for k, t, v in right:
+        key = (k, t)
+        seen[key] = max(seen.get(key, -1), v)
+    rrows = [(k, base + dt.timedelta(hours=t), float(v)) for (k, t), v in seen.items()]
+
+    ldf = spark.createDataFrame(lrows, "k long, t timestamp, lbl string")
+    rdf = spark.createDataFrame(
+        rrows or [(99, base, 0.0)], "k long, rt timestamp, v double"
+    )
+    got = sorted(
+        ((r.k, r.t, r.lbl, r.v) for r in asof_join(ldf, rdf, "k", "t", "rt", ["v"], strict=strict).collect()),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+    want = naive_asof(
+        [(k, base + dt.timedelta(hours=t), f"L{i}") for i, (k, t, _) in enumerate(left)],
+        rrows if rrows else [(99, base, 0.0)],
+        strict,
+    )
+    assert got == want
