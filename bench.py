@@ -26,6 +26,10 @@ HEADLINE = [
     "q21_minhash_near_dups",     # MinHash+LSH dedup pipeline
     "q26_token_counts",          # regexp text analysis
     "q28_cosine_topk",           # brute-force ANN
+    "q34_tumbling_windows",      # event-time windowed agg
+    "q40_sessionize",            # gap sessionization
+    "q41_salted_agg",            # skew-bounded two-stage agg
+    "q42_sql_shipping_priority", # pure-SQL 3-table join + topk
 ]
 
 

@@ -35,3 +35,26 @@ def latest_per_key(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def latest_per_key_agg(
+    df: DataFrame,
+    keys: str | list[str],
+    max_of: list[str | Column],
+) -> DataFrame:
+    """Latest-per-key as an AGGREGATION: max_by(whole row, order tuple).
+
+    Same result as the ranking-window form when ``max_of`` is a total
+    order (largest tuple = latest), but executes as a hash aggregate with
+    map-side partial max — the shuffle carries ONE candidate row per key
+    per input partition instead of every row, and no in-partition sort
+    happens. At 100 TB this is the preferred online-view materialization;
+    the window form remains for cases needing ranks beyond #1.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in max_of]
+    row = F.struct(*[F.col(c).alias(c) for c in df.columns])
+    out = df.groupBy(*keys).agg(
+        F.max_by(row, F.struct(*order_cols)).alias("__row")
+    )
+    return out.select("__row.*")

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from feature_store_test_spark.operators.latest import latest_per_key
+from feature_store_test_spark.operators.latest import latest_per_key_agg
 from feature_store_test_spark.store.table import VersionedParquetTable
 
 
@@ -95,10 +95,13 @@ class FeatureGroup:
         """
         hist = self.offline_history()
         if strict_event_time:
-            order = [F.col(self.event_time_col).desc(), F.col("_commit_version").desc()]
+            max_of = [self.event_time_col, "_commit_version"]
         else:
-            order = [F.col("_commit_version").desc(), F.col(self.event_time_col).desc()]
-        return latest_per_key(hist, self.key_col, order).drop("_commit_version")
+            max_of = ["_commit_version", self.event_time_col]
+        # aggregation form: map-side partial max_by → one candidate row per
+        # key per partition crosses the shuffle (vs every version for the
+        # ranking-window form)
+        return latest_per_key_agg(hist, self.key_col, max_of).drop("_commit_version")
 
     def exists_batch(self, keys: DataFrame) -> DataFrame:
         """Which of the given keys have a stored record (left semi join) —

@@ -68,6 +68,8 @@ _FOLD_OUT_SCHEMA = T.StructType(
         T.StructField("avg_purchase_value_after", T.DoubleType()),
         T.StructField("avg_loyalty_score_after", T.DoubleType()),
         T.StructField("was_new_key", T.BooleanType()),
+        # False when strict_event_time dropped a stale event's state update
+        T.StructField("applied", T.BooleanType()),
     ]
 )
 
@@ -83,6 +85,12 @@ class InferencePipeline:
         "customer_id IS NOT NULL AND purchase_value IS NOT NULL "
         "AND purchase_timestamp IS NOT NULL"
     )
+    # parity mode (False): stale re-deliveries overwrite state in arrival
+    # order, reproducing the reference's retry quirk (§2.13 Q5).
+    # strict mode (True): MERGE-style guard — an event older than the
+    # stored state's event time is scored but its state update is dropped
+    # (WHEN MATCHED AND s.event_time >= t.event_time).
+    strict_event_time: bool = False
     predictions: list[DataFrame] = field(default_factory=list)
 
     def __post_init__(self):
@@ -92,6 +100,7 @@ class InferencePipeline:
     def _fold_batch(self, seeded: DataFrame) -> DataFrame:
         """Grouped sequential fold: one pandas group per key."""
         scorer = self.scorer  # plain dataclass → closure-serialized to executors
+        strict = self.strict_event_time
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(["purchase_timestamp", "event_id"])
@@ -99,6 +108,7 @@ class InferencePipeline:
             avg_pv = pdf["seed_avg_pv"].iloc[0]
             avg_ls = pdf["seed_avg_ls"].iloc[0]
             exists = bool(pdf["seed_exists"].iloc[0])
+            state_ts = pdf["seed_ts"].iloc[0]
             out = []
             for r in pdf.itertuples(index=False):
                 v = r.purchase_value
@@ -114,7 +124,16 @@ class InferencePipeline:
                         "avg_loyalty_score": feat_avg_ls,
                     }
                 )
-                if not exists:
+                stale = (
+                    strict
+                    and exists
+                    and state_ts is not None
+                    and r.purchase_timestamp < state_ts
+                )
+                if stale:
+                    # strict guard: score only, keep state
+                    new_avg_pv, new_avg_ls = avg_pv, avg_ls
+                elif not exists:
                     # insert arm: averages initialize to observations
                     new_avg_pv, new_avg_ls = v, pred
                 else:
@@ -125,10 +144,12 @@ class InferencePipeline:
                     (
                         r.event_id, r.customer_id, r.purchase_timestamp, v,
                         v, feat_avg_pv, feat_avg_ls, pred,
-                        new_avg_pv, new_avg_ls, not exists,
+                        new_avg_pv, new_avg_ls, not exists, not stale,
                     )
                 )
-                avg_pv, avg_ls, exists = new_avg_pv, new_avg_ls, True
+                if not stale:
+                    avg_pv, avg_ls, exists = new_avg_pv, new_avg_ls, True
+                    state_ts = r.purchase_timestamp
             return pd.DataFrame(out, columns=[f.name for f in _FOLD_OUT_SCHEMA.fields])
 
         return seeded.groupBy("customer_id").applyInPandas(fold, _FOLD_OUT_SCHEMA)
@@ -146,10 +167,13 @@ class InferencePipeline:
                 )
             )
 
-        online = self.feature_group.online_view().select(
+        online = self.feature_group.online_view(
+            strict_event_time=self.strict_event_time
+        ).select(
             F.col("customer_id"),
             F.col("avg_purchase_value").alias("seed_avg_pv"),
             F.col("avg_loyalty_score").alias("seed_avg_ls"),
+            F.col("purchase_timestamp").alias("seed_ts"),
             F.lit(True).alias("seed_exists"),
         )
         seeded = (
@@ -162,7 +186,7 @@ class InferencePipeline:
         from feature_store_test_spark.operators.latest import latest_per_key
 
         final_state = latest_per_key(
-            folded,
+            folded.where(F.col("applied")),
             "customer_id",
             [F.col("purchase_timestamp").desc(), F.col("event_id").desc()],
         ).select(
@@ -178,7 +202,7 @@ class InferencePipeline:
         log = folded.select(
             "event_id", "customer_id", "purchase_timestamp", "purchase_value",
             "latest_purchase_value", "avg_purchase_value", "avg_loyalty_score",
-            "prediction", "was_new_key",
+            "prediction", "was_new_key", "applied",
         )
         self.predictions.append(log)
         return log

@@ -57,3 +57,13 @@ def test_latest_per_key_deterministic_tiebreak(spark):
     out = latest_per_key(df, "k", [F.col("t").desc(), F.col("id").desc()])
     got = {r.k: r.val for r in out.collect()}
     assert got == {1: "b", 2: "c"}  # id=11 wins the equal-ts tie
+
+
+def test_latest_per_key_agg_matches_window_form(spark):
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.operators.latest import latest_per_key_agg
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    win = latest_per_key(ev, "user_id", [F.col("ts").desc(), F.col("event_id").desc()])
+    agg = latest_per_key_agg(ev, "user_id", ["ts", "event_id"])
+    assert sorted(map(tuple, win.collect())) == sorted(map(tuple, agg.collect()))

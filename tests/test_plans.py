@@ -1,0 +1,72 @@
+"""Physical-plan regression tests: the scale properties the engine claims
+(pushdown, broadcasts, no Python in relational paths) must survive edits.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from feature_store_test_spark.registry import all_queries
+
+
+def plan_of(spark, sf_dir, name) -> str:
+    df = all_queries()[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_and_projection_reach_the_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched wide columns never leave the reader
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+    assert "l_partkey" not in plan.split("ReadSchema")[-1]
+
+
+def test_q04_dimension_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q04_join_broadcast_dims")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q06_semi_and_q07_anti_join_operators(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "q06_semi_join")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "q07_anti_join")
+
+
+def test_relational_queries_have_no_python_eval(spark, sf_dir):
+    """Python must appear only at the declared UDF seams (q32/q33), never in
+    the relational/dedup/text hot paths."""
+    for name in [
+        "q01_pricing_summary",
+        "q05_local_supplier_volume",
+        "q08_latest_event_per_user",
+        "q15_asof_join",
+        "q16_engineer_features",
+        "q21_minhash_near_dups",
+        "q23_text_stats",
+        "q28_cosine_topk",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "Python" not in plan, f"{name} runs Python in its plan"
+
+
+def test_udf_queries_do_use_arrow_python(spark, sf_dir):
+    assert "ArrowEvalPython" in plan_of(spark, sf_dir, "q33_pandas_udf_score")
+    assert "MapInPandas" in plan_of(spark, sf_dir, "q32_frame_sample")
+
+
+def test_q03_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q03_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_online_view_is_partial_aggregation(spark, tmp_path):
+    """The online view must be an aggregate (map-side partial max_by), not
+    a ranking window requiring a full shuffle+sort of history."""
+    from tests.test_store import FG_SCHEMA, make_fg, row
+
+    fg = make_fg(spark, tmp_path)
+    fg.ingest(spark.createDataFrame([row(1, 1, 1.0, 1.0, 1.0, 1.0)], FG_SCHEMA))
+    plan = fg.online_view()._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan
+    assert "Window" not in plan

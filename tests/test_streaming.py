@@ -129,3 +129,32 @@ def test_structured_streaming_file_replay(spark, sf_dir, tmp_path):
     assert set(got) == set(want)
     for cid, (_n, inc_avg) in want.items():
         assert got[cid] == pytest.approx(inc_avg, abs=1e-6)
+
+
+def test_strict_mode_drops_stale_updates_parity_applies_them(spark, tmp_path):
+    """§2.13 Q5 / T5: a re-delivered old event must not overwrite newer
+    state in strict mode, but must in parity (reference-faithful) mode."""
+    import datetime as dt
+
+    schema = (
+        "event_id long, customer_id long, "
+        "purchase_timestamp timestamp, purchase_value double"
+    )
+    fresh = spark.createDataFrame([(1, 1, dt.datetime(2024, 1, 10), 100.0)], schema)
+    stale = spark.createDataFrame([(2, 1, dt.datetime(2024, 1, 5), 10.0)], schema)
+
+    strict_pipe = make_pipeline(spark, tmp_path / "strict")
+    strict_pipe.strict_event_time = True
+    strict_pipe.process_batch(fresh)
+    log = strict_pipe.process_batch(stale).collect()
+    assert log[0].applied is False  # scored but not applied
+    rec = strict_pipe.feature_group.online_view(strict_event_time=True).collect()[0]
+    assert rec.latest_purchase_value == 100.0
+    assert rec.avg_purchase_value == 100.0  # untouched by the stale event
+
+    parity_pipe = make_pipeline(spark, tmp_path / "parity")
+    parity_pipe.process_batch(fresh)
+    parity_pipe.process_batch(stale)
+    rec = parity_pipe.feature_group.online_view().collect()[0]
+    assert rec.latest_purchase_value == 10.0  # arrival order wins
+    assert rec.avg_purchase_value == (100.0 + 10.0) / 2
