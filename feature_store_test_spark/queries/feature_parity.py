@@ -158,3 +158,110 @@ def q18_incremental_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_events"),
         F.round(F.sum(F.col("value") * weight), 6).alias("inc_avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q44 — the reference's record wire format (§1.1 "Record", §2.8 F3): every
+# value serialized to strings as {FeatureName, ValueAsString} pairs
+# (/root/reference/core/feature_store_manager.py:225-230, :269-274; parsed
+# back at core/utils.py:145-164). The engine keeps native types end-to-end
+# and strings ONLY at this explicit serving edge — emitted long-format so
+# the shape is one (key, feature, value-string) row per feature.
+# ---------------------------------------------------------------------------
+@register(
+    "q44_serving_records",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, ts, value
+      FROM events
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT user_id AS customer_id, 'customer_id' AS feature_name,
+           CAST(user_id AS VARCHAR) AS value_as_string FROM latest
+    UNION ALL
+    SELECT user_id, 'purchase_timestamp', strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') FROM latest
+    UNION ALL
+    SELECT user_id, 'latest_purchase_value', CAST(value AS VARCHAR) FROM latest
+    """,
+    doc="reference record serialization: stringly {FeatureName,ValueAsString} serving edge",
+    tags=("feature-store", "serving", "scalar"),
+)
+def q44_serving_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.latest import latest_per_key_agg
+
+    ev = load_table(spark, "events", sf_dir)
+    latest = latest_per_key_agg(
+        ev.select("user_id", "ts", "value", "event_id"), "user_id", ["ts", "event_id"]
+    )
+    pairs = F.array(
+        F.struct(
+            F.lit("customer_id").alias("feature_name"),
+            F.col("user_id").cast("string").alias("value_as_string"),
+        ),
+        F.struct(
+            F.lit("purchase_timestamp").alias("feature_name"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("value_as_string"),
+        ),
+        F.struct(
+            F.lit("latest_purchase_value").alias("feature_name"),
+            F.col("value").cast("string").alias("value_as_string"),
+        ),
+    )
+    return latest.select(
+        F.col("user_id").alias("customer_id"), F.explode(pairs).alias("r")
+    ).select(
+        "customer_id",
+        F.col("r.feature_name").alias("feature_name"),
+        F.col("r.value_as_string").alias("value_as_string"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q45 — the J1 enrichment lookup join in batch form
+# (/root/reference/core/inference.py:89-126): each event joined to the
+# latest stored state of its key; missing keys take the reference's
+# defaults (avg := event value, loyalty := 0) via coalesce. Broadcast of
+# the (small) latest-state side replaces 2 HTTPS round-trips per event.
+# ---------------------------------------------------------------------------
+@register(
+    "q45_enrichment_join",
+    oracle="""
+    WITH state AS (
+      SELECT user_id,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_value
+      FROM events WHERE event_type <> 'purchase' GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value AS latest_purchase_value,
+           COALESCE(s.avg_value, e.value) AS avg_purchase_value,
+           CASE WHEN s.user_id IS NULL THEN TRUE ELSE FALSE END AS used_defaults
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    LEFT JOIN state s ON e.user_id = s.user_id
+    """,
+    doc="stream-to-store enrichment join with miss defaults (J1, batch form)",
+    tags=("join", "feature-store", "broadcast"),
+)
+def q45_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    state = (
+        ev.where(F.col("event_type") != "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value")
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return (
+        purchases.join(F.broadcast(state), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("value").alias("latest_purchase_value"),
+            F.coalesce("avg_value", "value").alias("avg_purchase_value"),
+            F.col("avg_value").isNull().alias("used_defaults"),
+        )
+    )

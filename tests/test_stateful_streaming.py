@@ -55,3 +55,44 @@ def test_stateful_fold_across_micro_batches(spark, sf_dir, tmp_path):
         got_avg, got_n = final[cid]
         assert got_n == n, cid
         assert got_avg == pytest.approx(inc_avg, abs=1e-6), cid
+
+
+def test_watermarked_streaming_windows_match_batch(spark, sf_dir, tmp_path):
+    """readStream + withWatermark + F.window must converge to the batch
+    tumbling-window aggregation (q34) on a bounded replay."""
+    from pyspark.sql import functions as F
+
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.queries.extended import q34_tumbling_windows
+
+    ev = load_table(spark, "events", sf_dir)
+    src = str(tmp_path / "wm_src")
+    ev.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wm_out")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # update mode re-emits windows as they grow; final value = max count
+    got = {}
+    for r in spark.table("wm_out").collect():
+        k = (r.window_start, r.event_type)
+        got[k] = max(got.get(k, 0), r.n_events)
+    want = {
+        (r.window_start, r.event_type): r.n_events
+        for r in q34_tumbling_windows(spark, sf_dir).collect()
+    }
+    assert got == want
