@@ -52,11 +52,13 @@ def main() -> None:
     )
     specs = all_queries()
 
-    # warm the JVM/codegen paths once on the smallest SF so measured times
-    # reflect execution, not first-call JIT noise
-    specs["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # warm each query's JVM/codegen path once on the smallest SF so measured
+    # times reflect steady-state execution, not first-call JIT noise (cold
+    # first runs measured 3-8x slower than warm on identical plans)
+    for name in HEADLINE:
+        specs[name].fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

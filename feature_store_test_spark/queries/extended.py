@@ -381,3 +381,73 @@ def q43_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("val"), 6).alias("centroid_val"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q46 — pivot (long → wide): per-user event-type value sums as a feature
+# matrix — the reshaping step that turns event logs into model inputs.
+# The pivot column set is DECLARED (not discovered) so the plan is a single
+# pass with conditional aggregates — at 100 TB an undeclared pivot would
+# need a distinct-scan first.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@register(
+    "q46_pivot_features",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type='click'    THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS click_value,
+           CAST(SUM(CASE WHEN event_type='error'    THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS error_value,
+           CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS purchase_value,
+           CAST(SUM(CASE WHEN event_type='signup'   THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS signup_value,
+           CAST(SUM(CASE WHEN event_type='view'     THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS view_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="declared-column pivot: per-user event-type value matrix",
+    tags=("agg", "pivot"),
+)
+def q46_pivot_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.coalesce(F.sum(F.col("value").cast("decimal(18,2)")), F.lit(0).cast("decimal(18,2)")))
+    )
+    return out.select(
+        "user_id",
+        *[F.col(t).cast("double").alias(f"{t}_value") for t in _EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q47 — unpivot / melt (wide → long): lineitem money columns to a tidy
+# (key, measure, amount) table — the inverse reshape, zero shuffle
+# (unpivot is a per-row generator).
+# ---------------------------------------------------------------------------
+@register(
+    "q47_unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure, l_extendedprice AS amount
+    FROM lineitem WHERE l_orderkey <= 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem WHERE l_orderkey <= 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem WHERE l_orderkey <= 1000
+    """,
+    doc="unpivot/melt of lineitem money columns to tidy long format",
+    tags=("project", "unpivot"),
+)
+def q47_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_orderkey") <= 1000)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_extendedprice", "extendedprice")
+        .when(F.col("measure") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
