@@ -66,6 +66,102 @@ def main() -> None:
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Reference-architecture throughput comparison: the reference engineers
+    # features with eager single-threaded pandas (groupby/agg). Time the
+    # same workload both ways on the same events table.
+    import duckdb
+
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    t0 = time.perf_counter()
+    specs["q16_engineer_features"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark_fe_sec = time.perf_counter() - t0
+
+    import pandas as pd  # noqa: F401
+
+    pdf = duckdb.sql(
+        f"""SELECT user_id, epoch_us(ts) AS ts_us, value,
+                   CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS DOUBLE) AS k
+            FROM read_parquet('{sf_dir}/events.parquet')"""
+    ).df()
+    t0 = time.perf_counter()
+    g = pdf.sort_values(["ts_us"]).groupby("user_id")
+    _ = g.agg(
+        purchase_timestamp=("ts_us", "max"),
+        latest_purchase_value=("value", "last"),
+        avg_purchase_value=("value", "mean"),
+        avg_loyalty_score=("k", "mean"),
+        latest_loyalty_score=("k", "last"),
+    )
+    pandas_fe_sec = time.perf_counter() - t0
+
+    # End-to-end inference throughput: the same per-event semantics the
+    # reference runs serially (exists -> enrich -> predict -> upsert, 2-3
+    # API round-trips per event; its own simulation constants at
+    # /root/reference/core/inference.py:199-207 give ~1.7 events/sec).
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.ml import LinearScorer
+    from feature_store_test_spark.store import FeatureStore
+    from feature_store_test_spark.streaming import InferencePipeline
+
+    fg_schema = T.StructType(
+        [
+            T.StructField("customer_id", T.LongType()),
+            T.StructField("purchase_timestamp", T.TimestampType()),
+            T.StructField("latest_purchase_value", T.DoubleType()),
+            T.StructField("avg_purchase_value", T.DoubleType()),
+            T.StructField("avg_loyalty_score", T.DoubleType()),
+            T.StructField("latest_loyalty_score", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="bench_inference_")
+    fg = FeatureStore(spark, work).create(
+        "bench_fg", fg_schema, "customer_id", "purchase_timestamp"
+    )
+    pipe = InferencePipeline(
+        spark=spark,
+        feature_group=fg,
+        scorer=LinearScorer(
+            feature_cols=[
+                "latest_purchase_value",
+                "avg_purchase_value",
+                "avg_loyalty_score",
+            ],
+            weights=[0.01, 0.02, 0.5],
+            intercept=1.0,
+        ),
+        dlq_path=work + "/dlq",
+    )
+    bench_events = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("customer_id"),
+        F.col("ts").alias("purchase_timestamp"),
+        F.col("value").alias("purchase_value"),
+    )
+    t0 = time.perf_counter()
+    pipe.process_batch(bench_events).write.format("noop").mode("overwrite").save()
+    inference_sec = time.perf_counter() - t0
+
+    throughput = {
+        "events_rows": n_events,
+        # feature engineering (groupby/agg only): at this toy scale a
+        # single-threaded pandas groupby wins on fixed overhead; the Spark
+        # plan is the one that still runs when the table is 10^6x larger.
+        "spark_engineer_features_sec": round(spark_fe_sec, 3),
+        "pandas_engineer_features_sec": round(pandas_fe_sec, 3),
+        # end-to-end inference (enrich+predict+stateful upsert per event):
+        "spark_inference_events_per_sec": round(n_events / inference_sec),
+        "reference_simulated_events_per_sec": 1.7,
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -78,6 +174,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "throughput": throughput,
                 "sf": sf_val,
             }
         )

@@ -451,3 +451,51 @@ def q47_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("measure") == "l_discount", "discount")
         .otherwise("tax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q48 — NATIVE session windows (F.session_window, the streaming-capable
+# operator behind q40's hand-rolled form): dynamic-gap session grouping in
+# one aggregation. Same declared semantics as q40 — the oracle is the same
+# lag/cumsum SQL — because a 30-minute-gap session partition is unique.
+# In streaming this composes with withWatermark for state eviction.
+# ---------------------------------------------------------------------------
+@register(
+    "q48_native_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="native F.session_window 30-min-gap sessions (streaming-capable operator)",
+    tags=("window", "streaming", "agg"),
+)
+def q48_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "session_value")
+    )

@@ -184,3 +184,24 @@ def test_partition_cols_must_exist(spark, tmp_path):
     schema = T.StructType([T.StructField("k", T.LongType())])
     with pytest.raises(ValueError, match="partition columns"):
         VersionedParquetTable(spark, str(tmp_path / "x"), schema, partition_cols=["nope"])
+
+
+def test_partial_commit_files_are_invisible(spark, tmp_path):
+    """Atomicity: stray .tmp files and data without a published commit JSON
+    must be invisible to readers (files-first, rename-to-publish)."""
+    import os
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    t = VersionedParquetTable(spark, str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(1,)], schema))
+    # simulate a writer that died before publishing: data dir exists,
+    # commit json only as .tmp
+    orphan_dir = os.path.join(str(tmp_path / "t"), "data", "v0000000099-dead")
+    spark.createDataFrame([(999,)], schema).write.parquet(orphan_dir)
+    with open(os.path.join(str(tmp_path / "t"), "_commits", "tmp_partial.tmp"), "w") as f:
+        f.write('{"version": 99')  # truncated JSON
+    assert t.read().count() == 1  # orphan data never surfaces
+    assert t.versions() == [1]
+    # next append proceeds normally
+    t.append(spark.createDataFrame([(2,)], schema))
+    assert sorted(r.x for r in t.read().collect()) == [1, 2]
