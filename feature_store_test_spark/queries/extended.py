@@ -499,3 +499,84 @@ def q48_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_end", "n_events", "session_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q49 — exact quantiles + dispersion statistics: percentile (exact, linear
+# interpolation — matches quantile_cont) plus stddev/corr. At 100 TB the
+# engine's default for quantiles is percentile_approx (t-digest sketch,
+# one pass, mergeable); the exact form here is the oracle-checkable
+# declared semantic.
+# ---------------------------------------------------------------------------
+@register(
+    "q49_quantiles_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(c_acctbal, 0.25), 6) AS p25_bal,
+           ROUND(quantile_cont(c_acctbal, 0.50), 6) AS median_bal,
+           ROUND(quantile_cont(c_acctbal, 0.90), 6) AS p90_bal,
+           ROUND(stddev_samp(c_acctbal), 6) AS sd_bal,
+           ROUND(corr(c_acctbal, c_custkey % 97), 6) AS corr_bal_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="exact percentiles (linear interpolation), stddev and correlation per segment",
+    tags=("agg", "stats", "quantile"),
+)
+def q49_quantiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("p25_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.50)"), 6).alias("median_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.90)"), 6).alias("p90_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_bal"),
+        F.round(F.corr("c_acctbal", F.col("c_custkey") % 97), 6).alias("corr_bal_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q50 — edit-distance verification of head-fingerprint dedup groups: for
+# doc pairs sharing a head-5-word fingerprint (q20's groups), the
+# Levenshtein distance of their 40-char prefixes. Candidate pairs come from
+# the fingerprint equi-join (bounded by group sizes), never a cross-join —
+# the same candidate-discipline as MinHash verify.
+# ---------------------------------------------------------------------------
+@register(
+    "q50_prefix_edit_distance",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS f,
+             substr(text, 1, 40) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    """,
+    doc="Levenshtein distance over head-fingerprint dedup candidate pairs",
+    tags=("dedup", "text", "join"),
+)
+def q50_prefix_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators import text as Tx
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        Tx.prefix_fingerprint("text", 5).alias("f"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), "f", F.col("head").alias("head_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), "f", F.col("head").alias("head_b")
+    )
+    return (
+        a.join(b, "f")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("head_a", "head_b").cast("bigint").alias("edit_dist"),
+        )
+    )
