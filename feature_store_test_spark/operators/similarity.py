@@ -129,6 +129,7 @@ def lsh_ann_topk(
     n_planes: int = 4,
     dim: int = 64,
     round_dp: int = 6,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates.
 
@@ -138,12 +139,33 @@ def lsh_ann_topk(
     scoring cost drops by ~2^n_planes. Recall is data-dependent (near-dup
     heavy corpora recall well; uniformly random vectors mostly don't
     collide) — the brute-force operator stays the exact baseline.
+
+    ``probes``: multi-probe LSH — additionally search buckets within
+    hamming distance ``probes`` of the query's bucket (probes=1 → flip
+    each single bit). Each probe multiplies query-side rows (cheap, they
+    broadcast) and recall rises toward exact as probes → n_planes.
     """
     bq = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         lsh_bucket(vec_col, n_planes, dim).alias("bucket"),
     )
+    if probes >= 1:
+        # expand each query to its bucket + all single-bit-flip buckets
+        def flip(bits: F.Column, i: int) -> F.Column:
+            flipped = F.when(
+                F.substring(bits, i + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            return F.concat(
+                F.substring(bits, 1, i), flipped, F.substring(bits, i + 2, n_planes - i - 1)
+            )
+
+        variants = F.array(
+            F.col("bucket"), *[flip(F.col("bucket"), i) for i in range(n_planes)]
+        )
+        bq = bq.select(
+            "query_id", "__qv", F.explode(variants).alias("bucket")
+        )
     bc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),

@@ -580,3 +580,46 @@ def q50_prefix_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("head_a", "head_b").cast("bigint").alias("edit_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q51 — declarative data-quality report: every rule is a conditional count
+# in ONE scan (validate.check). The batch twin of the streaming pipeline's
+# validate→DLQ stage.
+# ---------------------------------------------------------------------------
+@register(
+    "q51_data_quality",
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(*) AS n,
+        SUM(CASE WHEN NOT COALESCE(value IS NOT NULL AND value >= 0, FALSE) THEN 1 ELSE 0 END) AS value_non_negative,
+        SUM(CASE WHEN NOT COALESCE(event_type IN ('click','error','purchase','signup','view'), FALSE) THEN 1 ELSE 0 END) AS known_event_type,
+        SUM(CASE WHEN NOT COALESCE(ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00', FALSE) THEN 1 ELSE 0 END) AS ts_in_january,
+        SUM(CASE WHEN NOT COALESCE(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) BETWEEN 0 AND 100, FALSE) THEN 1 ELSE 0 END) AS props_k_in_range
+      FROM events
+    )
+    SELECT 'value_non_negative' AS rule, value_non_negative AS n_violations,
+           ROUND(value_non_negative / n, 6) AS violation_rate FROM base
+    UNION ALL
+    SELECT 'known_event_type', known_event_type, ROUND(known_event_type / n, 6) FROM base
+    UNION ALL
+    SELECT 'ts_in_january', ts_in_january, ROUND(ts_in_january / n, 6) FROM base
+    UNION ALL
+    SELECT 'props_k_in_range', props_k_in_range, ROUND(props_k_in_range / n, 6) FROM base
+    """,
+    doc="single-scan declarative data-quality rule report over events",
+    tags=("validate", "agg"),
+)
+def q51_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.validate import check
+
+    ev = load_table(spark, "events", sf_dir)
+    return check(
+        ev,
+        {
+            "value_non_negative": "value IS NOT NULL AND value >= 0",
+            "known_event_type": "event_type IN ('click','error','purchase','signup','view')",
+            "ts_in_january": "ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'",
+            "props_k_in_range": "CAST(get_json_object(props, '$.k') AS BIGINT) BETWEEN 0 AND 100",
+        },
+    )

@@ -67,3 +67,17 @@ def test_latest_per_key_agg_matches_window_form(spark):
     win = latest_per_key(ev, "user_id", [F.col("ts").desc(), F.col("event_id").desc()])
     agg = latest_per_key_agg(ev, "user_id", ["ts", "event_id"])
     assert sorted(map(tuple, win.collect())) == sorted(map(tuple, agg.collect()))
+
+
+def test_quarantine_splits_cleanly(spark):
+    from feature_store_test_spark.validate import check, quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id long, v double"
+    )
+    rules = {"v_nonneg": "v IS NOT NULL AND v >= 0"}
+    rep = {r.rule: r.n_violations for r in check(df, rules).collect()}
+    assert rep == {"v_nonneg": 2}
+    clean, bad = quarantine(df, rules)
+    assert sorted(r.id for r in clean.collect()) == [1]
+    assert sorted(r.id for r in bad.collect()) == [2, 3]

