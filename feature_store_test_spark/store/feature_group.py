@@ -175,9 +175,16 @@ class FeatureGroup:
             )
             handled |= {latest_c, avg_c}
         # passthrough feature columns not maintained by the update rule:
+        # take the update's value when the caller supplied the column,
+        # else carry the stored value through unchanged
         for c in self.feature_cols:
             if c not in handled:
-                out_cols.append(F.coalesce(F.col(f"u.{c}"), F.col(f"c.{c}")).alias(c))
+                if c in updates.columns:
+                    out_cols.append(
+                        F.coalesce(F.col(f"u.{c}"), F.col(f"c.{c}")).alias(c)
+                    )
+                else:
+                    out_cols.append(F.col(f"c.{c}").alias(c))
 
         new_rows = joined.select(*out_cols).select(*self.schema.fieldNames())
         return self.ingest(new_rows)

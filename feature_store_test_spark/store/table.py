@@ -126,20 +126,24 @@ class VersionedParquetTable:
             empty = self.spark.createDataFrame([], self.schema)
             return empty.withColumn("_commit_version", F.lit(None).cast("int"))
 
-        parts = []
+        # ONE multi-path scan for all commits (a union-per-commit plan grows
+        # linearly with table history and chokes the optimizer at hundreds
+        # of commits); the commit version is recovered from the data-dir
+        # name (v{version:010d}-{uuid}) embedded in each file path.
+        dirs = []
         for v in versions:
             with open(self._commit_file(v)) as f:
-                commit = json.load(f)
-            part = (
-                self.spark.read.schema(self.schema)
-                .parquet(commit["data_dir"])
-                .withColumn("_commit_version", F.lit(v))
-            )
-            parts.append(part.select(*self.schema.fieldNames(), "_commit_version"))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+                dirs.append(json.load(f)["data_dir"])
+        out = self.spark.read.schema(self.schema).parquet(*dirs)
+        # _metadata.file_path (not input_file_name(): that one is
+        # non-deterministic and would block predicate/partition pushdown
+        # through the projection)
+        version_from_path = F.regexp_extract(
+            F.col("_metadata.file_path"), r"/v(\d{10})-[0-9a-f]{8}/", 1
+        ).cast("int")
+        return out.withColumn("_commit_version", version_from_path).select(
+            *self.schema.fieldNames(), "_commit_version"
+        )
 
     def history(self) -> list[dict]:
         out = []

@@ -81,3 +81,21 @@ def test_quarantine_splits_cleanly(spark):
     clean, bad = quarantine(df, rules)
     assert sorted(r.id for r in clean.collect()) == [1]
     assert sorted(r.id for r in bad.collect()) == [2, 3]
+
+
+def test_asof_join_composite_keys(spark):
+    left = spark.createDataFrame(
+        [(1, "eu", ts(5), "L1"), (1, "us", ts(5), "L2")],
+        "k long, region string, t timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, "eu", ts(3), 10.0), (1, "us", ts(4), 20.0), (2, "eu", ts(1), 99.0)],
+        "k long, region string, rt timestamp, v double",
+    )
+    out = {
+        (r.k, r.region): r.v
+        for r in asof_join(
+            left, right, ["k", "region"], "t", "rt", ["v"]
+        ).collect()
+    }
+    assert out == {(1, "eu"): 10.0, (1, "us"): 20.0}

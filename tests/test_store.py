@@ -205,3 +205,35 @@ def test_partial_commit_files_are_invisible(spark, tmp_path):
     # next append proceeds normally
     t.append(spark.createDataFrame([(2,)], schema))
     assert sorted(r.x for r in t.read().collect()) == [1, 2]
+
+
+def test_upsert_passthrough_column_preserved(spark, tmp_path):
+    """Feature columns NOT governed by the (old+new)/2 rule must carry the
+    stored value through an upsert that doesn't mention them."""
+    fg = make_fg(spark, tmp_path)
+    fg.ingest(spark.createDataFrame([row(1, 1, 10.0, 10.0, 5.0, 5.0)], FG_SCHEMA))
+    # update only purchase_value; loyalty columns are passthrough
+    updates = spark.createDataFrame(
+        [(1, ts(2), 30.0)],
+        "customer_id long, purchase_timestamp timestamp, purchase_value double",
+    )
+    fg.upsert(updates, {"purchase_value": "purchase_value"})
+    rec = fg.get_latest(1)
+    assert rec["latest_purchase_value"] == 30.0
+    assert rec["avg_purchase_value"] == 20.0
+    assert rec["avg_loyalty_score"] == 5.0  # preserved from stored state
+    assert rec["latest_loyalty_score"] == 5.0
+
+
+def test_many_commits_single_scan(spark, tmp_path):
+    """30 commits must still read as ONE scan (no union-per-commit plan)."""
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    t = VersionedParquetTable(spark, str(tmp_path / "t"), schema)
+    for i in range(30):
+        t.append(spark.createDataFrame([(i,)], schema))
+    df = t.read()
+    assert df.count() == 30
+    versions = {r._commit_version for r in df.collect()}
+    assert versions == set(range(1, 31))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
