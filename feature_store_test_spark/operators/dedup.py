@@ -87,6 +87,9 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_entries)).alias("e")
     ).select(id_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+    # cache: the self-join would otherwise recompute the full signature
+    # aggregation for BOTH sides (banded is bands×n_docs tiny rows)
+    banded = banded.cache()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -109,6 +109,45 @@ class VersionedParquetTable:
         os.rename(tmp, self._commit_file(version))  # atomic publish
         return version
 
+    # -- maintenance --------------------------------------------------------
+    def compact(self) -> int:
+        """Rewrite the current snapshot as one commit (OPTIMIZE analog).
+
+        Small-file mitigation: N append commits become a single data dir;
+        subsequent reads scan compacted files + any later appends. The
+        per-row ``_commit_version`` is MATERIALIZED into the compacted
+        files, so arrival-order semantics (parity online view, §2.13 Q5)
+        survive compaction bit-for-bit. Old dirs are kept for time travel
+        (a vacuum policy would garbage-collect them after a retention
+        window, exactly like Delta).
+        """
+        base = self.latest_version()
+        if base is None:
+            raise ValueError("nothing to compact: table has no commits")
+        snapshot = self.read()  # includes _commit_version
+        os.makedirs(self._log_path, exist_ok=True)
+        version = base + 1
+        data_dir = os.path.join(
+            self.path, _DATA_DIR, f"v{version:010d}-{uuid.uuid4().hex[:8]}"
+        )
+        writer = snapshot.write.mode("errorifexists")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(data_dir)
+        commit = {
+            "version": version,
+            "type": "compact",
+            "base_version": base,
+            "data_dir": data_dir,
+            "ts_unix": time.time(),
+            "schema": snapshot.schema.jsonValue(),
+        }
+        fd, tmp = tempfile.mkstemp(dir=self._log_path, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(commit, f)
+        os.rename(tmp, self._commit_file(version))
+        return version
+
     # -- read ---------------------------------------------------------------
     def read(self, as_of_version: int | None = None) -> DataFrame:
         """Snapshot read of all rows, optionally time-traveled.
@@ -126,24 +165,52 @@ class VersionedParquetTable:
             empty = self.spark.createDataFrame([], self.schema)
             return empty.withColumn("_commit_version", F.lit(None).cast("int"))
 
-        # ONE multi-path scan for all commits (a union-per-commit plan grows
-        # linearly with table history and chokes the optimizer at hundreds
-        # of commits); the commit version is recovered from the data-dir
-        # name (v{version:010d}-{uuid}) embedded in each file path.
-        dirs = []
+        commits = []
         for v in versions:
             with open(self._commit_file(v)) as f:
-                dirs.append(json.load(f)["data_dir"])
-        out = self.spark.read.schema(self.schema).parquet(*dirs)
-        # _metadata.file_path (not input_file_name(): that one is
-        # non-deterministic and would block predicate/partition pushdown
-        # through the projection)
-        version_from_path = F.regexp_extract(
-            F.col("_metadata.file_path"), r"/v(\d{10})-[0-9a-f]{8}/", 1
-        ).cast("int")
-        return out.withColumn("_commit_version", version_from_path).select(
-            *self.schema.fieldNames(), "_commit_version"
-        )
+                commits.append(json.load(f))
+        # honor the latest visible compaction: it replaces every commit at
+        # or below its base_version (older dirs remain only for deeper
+        # time travel)
+        compacts = [c for c in commits if c.get("type") == "compact"]
+        compact = max(compacts, key=lambda c: c["version"]) if compacts else None
+        cols = [*self.schema.fieldNames(), "_commit_version"]
+
+        append_dirs = [
+            c["data_dir"]
+            for c in commits
+            if c.get("type", "append") == "append"
+            and (compact is None or c["version"] > compact["base_version"])
+        ]
+
+        parts = []
+        if compact is not None:
+            # compacted files carry _commit_version as a real column
+            compact_schema = T.StructType(
+                [*self.schema.fields, T.StructField("_commit_version", T.IntegerType())]
+            )
+            parts.append(
+                self.spark.read.schema(compact_schema)
+                .parquet(compact["data_dir"])
+                .select(*cols)
+            )
+        if append_dirs:
+            # ONE multi-path scan for all append commits (a union-per-commit
+            # plan grows linearly with history and chokes the optimizer);
+            # the commit version is recovered from the data-dir name via
+            # _metadata.file_path (input_file_name() is non-deterministic
+            # and would block predicate/partition pushdown).
+            out = self.spark.read.schema(self.schema).parquet(*append_dirs)
+            version_from_path = F.regexp_extract(
+                F.col("_metadata.file_path"), r"/v(\d{10})-[0-9a-f]{8}/", 1
+            ).cast("int")
+            parts.append(
+                out.withColumn("_commit_version", version_from_path).select(*cols)
+            )
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.unionByName(p)
+        return result
 
     def history(self) -> list[dict]:
         out = []

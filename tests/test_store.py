@@ -237,3 +237,38 @@ def test_many_commits_single_scan(spark, tmp_path):
     assert versions == set(range(1, 31))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
+
+
+def test_compaction_preserves_snapshot_and_history(spark, tmp_path):
+    """compact() rewrites N commits as one; reads are identical before and
+    after (including arrival-order _commit_version), later appends stack on
+    top, and pre-compaction time travel still works."""
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    t = VersionedParquetTable(spark, str(tmp_path / "t"), schema)
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], schema))
+    before = sorted(map(tuple, t.read().collect()))
+    cv = t.compact()
+    assert cv == 6
+    after = sorted(map(tuple, t.read().collect()))
+    assert before == after  # snapshot identical, versions preserved
+    # the post-compaction read touches ONE data dir
+    hist = t.read()
+    assert "Union" not in hist._jdf.queryExecution().executedPlan().toString()
+    # appends continue on top
+    t.append(spark.createDataFrame([(99,)], schema))
+    assert t.read().count() == 6
+    assert max(r._commit_version for r in t.read().collect()) == 7
+    # deep time travel below the compaction base still resolves
+    assert t.read(as_of_version=2).count() == 2
+
+
+def test_compaction_with_parity_online_view(spark, tmp_path):
+    """Arrival-order (parity) online semantics must survive compaction."""
+    fg = make_fg(spark, tmp_path)
+    fg.ingest(spark.createDataFrame([row(1, 5, 50.0, 50.0, 5.0, 5.0)], FG_SCHEMA))
+    fg.ingest(spark.createDataFrame([row(1, 2, 20.0, 20.0, 2.0, 2.0)], FG_SCHEMA))
+    before = fg.online_view().collect()[0]
+    fg.table.compact()
+    after = fg.online_view().collect()[0]
+    assert before.latest_purchase_value == after.latest_purchase_value == 20.0
