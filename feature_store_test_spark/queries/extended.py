@@ -623,3 +623,77 @@ def q51_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "props_k_in_range": "CAST(get_json_object(props, '$.k') AS BIGINT) BETWEEN 0 AND 100",
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Q52 — analytic window functions beyond ranking: lag/lead (neighbor
+# access), first_value (frame anchor), ntile (quartiles), percent_rank.
+# All share ONE (customer, date-ordered) window — one shuffle, one sort.
+# ---------------------------------------------------------------------------
+@register(
+    "q52_window_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_totalprice)  OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           CAST(NTILE(4) OVER w AS INT) AS spend_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead/first_value/ntile/percent_rank over one per-customer window",
+    tags=("window",),
+)
+def q52_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q53 — array-function surface as a declared query (the primitives the
+# dedup/similarity operators compose): sort, distinct, slice, contains,
+# set intersection between documents' token arrays and a constant set.
+# ---------------------------------------------------------------------------
+@register(
+    "q53_array_functions",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_distinct(string_split(text,' ')))[1] AS first_token_alpha,
+           array_to_string(string_split(text,' ')[1:3], '_') AS head3_joined,
+           CAST(list_contains(string_split(text,' '), 'spark') AS BOOLEAN) AS has_spark,
+           len(list_intersect(list_distinct(string_split(text,' ')),
+                              ['join','sort','merge','filter'])) AS n_relational_terms,
+           CAST(list_sort(list_distinct(string_split(text,' '))) =
+                list_sort(list_distinct(string_split(reverse(text),' '))) AS BOOLEAN)
+             AS palindrome_vocab
+    FROM documents
+    """,
+    doc="array functions: sort/distinct/slice/contains/intersect over token arrays",
+    tags=("array", "scalar", "text"),
+)
+def q53_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.split("text", " ")
+    vocab = F.array_sort(F.array_distinct(words))
+    rvocab = F.array_sort(F.array_distinct(F.split(F.reverse(F.col("text")), " ")))
+    rel = F.array(F.lit("join"), F.lit("sort"), F.lit("merge"), F.lit("filter"))
+    return docs.select(
+        "doc_id",
+        F.element_at(vocab, 1).alias("first_token_alpha"),
+        F.array_join(F.slice(words, 1, 3), "_").alias("head3_joined"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.size(F.array_intersect(F.array_distinct(words), rel)).alias(
+            "n_relational_terms"
+        ),
+        (vocab == rvocab).alias("palindrome_vocab"),
+    )
