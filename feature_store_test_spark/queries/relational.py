@@ -558,3 +558,135 @@ def q15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_values=["sts"],
         strict=True,
     ).select("event_id", "user_id", "ts", "value", F.col("sts").alias("signup_ts"))
+
+
+# ---------------------------------------------------------------------------
+# Q54 — conditional-aggregate ratio (TPC-H Q14 shape): promo revenue share
+# of lineitem ⋈ part in one month. Part is broadcast; the CASE rides the
+# same aggregation pass (no second scan for the numerator).
+# ---------------------------------------------------------------------------
+@register(
+    "q54_promo_revenue",
+    oracle="""
+    SELECT ROUND(
+             100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             6) AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14-shape promo revenue percentage (conditional agg over broadcast join)",
+    tags=("join", "agg", "broadcast"),
+)
+def q54_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, "part", sf_dir)
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), net).otherwise(zero)).cast("double")
+            / F.sum(net).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q55 — supplier-part statistics with exclusion (TPC-H Q16 shape): distinct
+# suppliers per (brand, size-band) excluding suppliers with below-par
+# balance — an anti-join feeding a distinct aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q55_parts_supplier_stats",
+    oracle="""
+    SELECT p_brand,
+           CASE WHEN p_size < 20 THEN 'small' ELSE 'large' END AS size_band,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q16-shape distinct suppliers per brand/size-band with NOT-IN exclusion",
+    tags=("join", "anti", "agg", "distinct"),
+)
+def q55_parts_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    bad = load_table(spark, "supplier", sf_dir).where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey")
+    )
+    kept = li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+    return (
+        kept.join(F.broadcast(p), kept.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.when(F.col("p_size") < 20, "small").otherwise("large").alias("size_band"),
+        )
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q56 — returned-item top customers (TPC-H Q10 shape): revenue lost to
+# returns per customer over a quarter, top 20 — join + agg + deterministic
+# top-k in one plan.
+# ---------------------------------------------------------------------------
+@register(
+    "q56_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS lost_revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-shape returned-item revenue per customer, deterministic top-20",
+    tags=("join", "agg", "limit"),
+)
+def q56_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_returnflag") == "R")
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("lost_revenue")
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
