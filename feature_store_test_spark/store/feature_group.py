@@ -153,6 +153,22 @@ class FeatureGroup:
         "merge" writes only the new version rows — no table rewrite. On
         Delta this maps 1:1 to MERGE WHEN (NOT) MATCHED.
         """
+        # one row per key is a hard precondition: two update rows for the
+        # same key would both fold against the SAME stored average (the
+        # chain needs sequential application — that's the streaming
+        # pipeline's per-key fold, not this batch merge)
+        dup = (
+            updates.groupBy(self.key_col)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "upsert requires one row per key; pre-fold multi-event "
+                "batches (see streaming.InferencePipeline._fold_batch)"
+            )
         current = self.online_view()
         upd = updates.alias("u")
         cur = current.alias("c")

@@ -27,7 +27,6 @@ events; parity-mode arrival-order semantics preserve exactly that).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession

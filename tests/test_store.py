@@ -272,3 +272,14 @@ def test_compaction_with_parity_online_view(spark, tmp_path):
     fg.table.compact()
     after = fg.online_view().collect()[0]
     assert before.latest_purchase_value == after.latest_purchase_value == 20.0
+
+
+def test_upsert_rejects_duplicate_keys(spark, tmp_path):
+    fg = make_fg(spark, tmp_path)
+    dup = spark.createDataFrame(
+        [(1, ts(1), 10.0, 1.0), (1, ts(2), 20.0, 2.0)],
+        "customer_id long, purchase_timestamp timestamp, "
+        "purchase_value double, loyalty_score double",
+    )
+    with pytest.raises(ValueError, match="one row per key"):
+        fg.upsert(dup, {"purchase_value": "purchase_value", "loyalty_score": "loyalty_score"})
