@@ -148,6 +148,38 @@ class VersionedParquetTable:
         os.rename(tmp, self._commit_file(version))
         return version
 
+    def vacuum(self) -> list[int]:
+        """Garbage-collect data made unreachable by the LATEST compaction:
+        commits at or below its base_version. Their commit files are kept
+        (tombstoned with the data_dir nulled) so the version history stays
+        enumerable; time travel below the compaction base stops working —
+        the documented retention trade, same as Delta VACUUM.
+
+        Returns the list of vacuumed version ids.
+        """
+        import shutil
+
+        commits = []
+        for v in self.versions():
+            with open(self._commit_file(v)) as f:
+                commits.append(json.load(f))
+        compacts = [c for c in commits if c.get("type") == "compact"]
+        if not compacts:
+            return []
+        base = max(compacts, key=lambda c: c["version"])["base_version"]
+        removed = []
+        for c in commits:
+            if c["version"] <= base and c.get("data_dir"):
+                shutil.rmtree(c["data_dir"], ignore_errors=True)
+                c["data_dir"] = None
+                c["vacuumed"] = True
+                fd, tmp = tempfile.mkstemp(dir=self._log_path, suffix=".tmp")
+                with os.fdopen(fd, "w") as f:
+                    json.dump(c, f)
+                os.rename(tmp, self._commit_file(c["version"]))
+                removed.append(c["version"])
+        return removed
+
     # -- read ---------------------------------------------------------------
     def read(self, as_of_version: int | None = None) -> DataFrame:
         """Snapshot read of all rows, optionally time-traveled.
@@ -176,12 +208,19 @@ class VersionedParquetTable:
         compact = max(compacts, key=lambda c: c["version"]) if compacts else None
         cols = [*self.schema.fieldNames(), "_commit_version"]
 
-        append_dirs = [
-            c["data_dir"]
+        visible_appends = [
+            c
             for c in commits
             if c.get("type", "append") == "append"
             and (compact is None or c["version"] > compact["base_version"])
         ]
+        gone = [c["version"] for c in visible_appends if not c.get("data_dir")]
+        if gone:
+            raise ValueError(
+                f"versions {gone} were vacuumed; time travel below the "
+                "compaction base is no longer available"
+            )
+        append_dirs = [c["data_dir"] for c in visible_appends]
 
         parts = []
         if compact is not None:

@@ -283,3 +283,30 @@ def test_upsert_rejects_duplicate_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="one row per key"):
         fg.upsert(dup, {"purchase_value": "purchase_value", "loyalty_score": "loyalty_score"})
+
+
+def test_vacuum_after_compaction(spark, tmp_path):
+    import os
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    t = VersionedParquetTable(spark, str(tmp_path / "t"), schema)
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,)], schema))
+    t.compact()
+    snapshot = sorted(map(tuple, t.read().collect()))
+    removed = t.vacuum()
+    assert removed == [1, 2, 3, 4]
+    # current reads unaffected; vacuumed data dirs gone from disk
+    assert sorted(map(tuple, t.read().collect())) == snapshot
+    data_root = os.path.join(str(tmp_path / "t"), "data")
+    assert len(os.listdir(data_root)) == 1  # only the compacted dir remains
+    # deep time travel now fails loudly, not silently-empty
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(as_of_version=2)
+    # appends continue
+    t.append(spark.createDataFrame([(9,)], schema))
+    assert t.read().count() == 5
+    # vacuum with no compaction is a no-op
+    t2 = VersionedParquetTable(spark, str(tmp_path / "t2"), schema)
+    t2.append(spark.createDataFrame([(1,)], schema))
+    assert t2.vacuum() == []
