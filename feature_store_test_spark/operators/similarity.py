@@ -188,3 +188,83 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH bucketing
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probe: int = 1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by cosine.
+
+    ``centroids`` must have columns (cid, cv). Similarity is rounded before
+    ranking with a centroid-id tiebreak, so cell assignment is fully
+    deterministic and reproducible across engines — which is why the IVF
+    path (unlike raw-sign LSH) can be oracle-checked end to end.
+
+    Scale: centroids broadcast (coarse quantizers are small — thousands of
+    cells for billions of vectors); assignment is one scan, no shuffle.
+    """
+    c = centroids.select("cid", "cv")
+    w = Window.partitionBy("__id").orderBy(F.col("__sim").desc(), F.col("cid"))
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .join(F.broadcast(c))
+        .select("__id", "__v", "cid", F.round(cosine("__v", "cv"), round_dp).alias("__sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_probe)
+        .select("__id", "__v", "cid")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF-flat approximate nearest neighbors.
+
+    Corpus vectors live in exactly one cell (their nearest centroid); each
+    query probes its ``n_probe`` nearest cells and brute-forces only those
+    members. Output: (query_id, neighbor_id, rank, cos_sim) — deterministic
+    via the same round-then-rank discipline as ``cosine_topk``.
+
+    Scale: the corpus scan partitions by cell id (pre-partition the stored
+    table by cid to make the probe join shuffle-free); per-query work drops
+    from |corpus| to ~n_probe/n_cells of it. At real scale the centroids
+    come from a k-means fit — here they are seeded deterministically so the
+    whole operator is engine-comparable.
+    """
+    ca = ivf_assign(corpus, centroids, id_col, vec_col, 1, round_dp).select(
+        F.col("__id").alias("neighbor_id"), F.col("__v").alias("__cv"), "cid"
+    )
+    qa = ivf_assign(queries, centroids, id_col, vec_col, n_probe, round_dp).select(
+        F.col("__id").alias("query_id"), F.col("__v").alias("__qv"), "cid"
+    )
+    scored = (
+        ca.join(qa, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("__qv", "__cv"), round_dp).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -261,3 +261,57 @@ def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= _HAMMING_T)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q66 — rolling-window shingle containment: every 8-token window of every
+# document is fingerprinted (the rolling-hash dedup primitive — Rabin-Karp
+# style positions, md5 for cross-engine-stable digests); documents sharing
+# >= 2 window fingerprints are containment/overlap candidates. This catches
+# copied *passages* that whole-document fingerprints (q27) and bag-of-
+# shingle Jaccard (q21) both dilute.
+# Scale: shingle explosion is ~n_tokens rows/doc but only 16-byte digests
+# shuffle; the self-join runs on the digest key (uniformly distributed — no
+# skew), and the >= 2 filter keeps the output sparse.
+# ---------------------------------------------------------------------------
+@register(
+    "q66_shingle_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+      FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+      WHERE len(t) >= 8
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_shingles
+    FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    doc="rolling 8-token shingle fingerprints -> passage-overlap candidate pairs",
+    tags=("dedup", "text", "join"),
+)
+def q66_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 7), i -> md5(array_join(slice(t, i, 8), ' ')))")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), "h")
+    b = sh.select(F.col("doc_id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= 2)
+    )

@@ -116,3 +116,77 @@ def q30_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q63 — IVF-flat ANN (the inverted-file scale path; q28 = exact baseline,
+# q38 = LSH path). Seeded deterministic centroids (16 smallest vec_ids — at
+# real scale a k-means fit) make cell assignment reproducible across
+# engines, so unlike q38 this ANN variant has a full DuckDB oracle.
+# ---------------------------------------------------------------------------
+_IVF_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "q63_ivf_ann_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 16
+    ),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ca AS (
+      SELECT vec_id AS neighbor_id, v AS nv, cid FROM (
+        SELECT c.vec_id, c.v, t.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_IVF_COS.format(a="c.v", b="t.cv")} DESC, t.cid
+               ) AS rn
+        FROM corpus c CROSS JOIN cent t
+      ) WHERE rn = 1
+    ),
+    qa AS (
+      SELECT vec_id AS query_id, v AS qv, cid FROM (
+        SELECT c.vec_id, c.v, t.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_IVF_COS.format(a="c.v", b="t.cv")} DESC, t.cid
+               ) AS rn
+        FROM corpus c CROSS JOIN cent t
+        WHERE c.vec_id < 20
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT qa.query_id, ca.neighbor_id,
+             {_IVF_COS.format(a="qa.qv", b="ca.nv")} AS cos_sim
+      FROM qa JOIN ca USING (cid)
+      WHERE qa.query_id <> ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="IVF-flat ANN top-5 with seeded centroids, nprobe=2 (oracle-checked)",
+    tags=("similarity", "ivf", "approx", "join"),
+)
+def q63_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return ivf_ann_topk(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 20),
+        centroids=centroids,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_probe=2,
+    )

@@ -94,3 +94,38 @@ def test_multi_probe_improves_recall(spark, sf_dir):
     r_single, r_multi = recall(single), recall(multi)
     assert r_multi >= r_single
     assert multi.count() >= single.count()
+
+
+def test_ivf_ann_recall_and_cell_discipline(spark, sf_dir):
+    """IVF ANN: every neighbor comes from a probed cell, results are
+    deterministic across runs, and nprobe=2 recall@5 vs exact is useful
+    (>= 0.3 on near-orthogonal random vectors; pruning 14/16 cells)."""
+    from feature_store_test_spark.operators.similarity import ivf_ann_topk, ivf_assign
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    queries = emb.where(F.col("vec_id") < 20)
+    ann = ivf_ann_topk(emb, queries, centroids, k=5, n_probe=2)
+    rows = sorted(map(tuple, ann.collect()))
+    assert rows == sorted(map(tuple, ivf_ann_topk(emb, queries, centroids, k=5, n_probe=2).collect()))
+
+    # cell discipline: neighbor's cell is one of the query's probed cells
+    ca = ivf_assign(emb, centroids, "vec_id", "embedding", 1).select(
+        F.col("__id").alias("neighbor_id"), F.col("cid").alias("ncell")
+    )
+    qa = ivf_assign(queries, centroids, "vec_id", "embedding", 2).select(
+        F.col("__id").alias("query_id"), F.col("cid").alias("qcell")
+    )
+    ok = (
+        ann.join(ca, "neighbor_id")
+        .join(qa, "query_id")
+        .where(F.col("ncell") == F.col("qcell"))
+    )
+    assert ok.select("query_id", "neighbor_id").distinct().count() == ann.count()
+
+    exact = cosine_topk(emb, queries, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r[0], r[1]) for r in rows}
+    assert len(e & a) / len(e) >= 0.3
