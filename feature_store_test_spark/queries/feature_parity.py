@@ -265,3 +265,40 @@ def q45_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("avg_value").isNull().alias("used_defaults"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q67 — data skipping on the versioned store: two append commits, a
+# range-clustered rewrite (compact(cluster_by) = OPTIMIZE ZORDER analog),
+# then a key-range read served through per-file min/max stats pruning.
+# The oracle is the plain filter on the source table — skipping must be
+# invisible to results while (as tests/test_store.py asserts) touching a
+# fraction of the files. Scale: this is THE point-read story at 100 TB —
+# file pruning happens against the commit log before Spark lists a single
+# data file.
+# ---------------------------------------------------------------------------
+@register(
+    "q67_store_skipping_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_custkey >= 100 AND o_custkey <= 120
+    """,
+    doc="clustered store rewrite + stats-pruned key-range read (Delta OPTIMIZE/skipping analog)",
+    tags=("feature-store", "storage", "skipping"),
+)
+def q67_store_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from feature_store_test_spark.store.table import VersionedParquetTable
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    tbl = VersionedParquetTable(spark, tempfile.mkdtemp(prefix="fsts_q67_"), o.schema)
+    tbl.append(o.where(F.col("o_orderkey") % 2 == 0))
+    tbl.append(o.where(F.col("o_orderkey") % 2 == 1))
+    tbl.compact(cluster_by=["o_custkey"], n_files=8)
+    return tbl.read(
+        where=[("o_custkey", ">=", 100), ("o_custkey", "<=", 120)]
+    ).drop("_commit_version")

@@ -112,10 +112,22 @@ class FeatureGroup:
             how="left_semi",
         )
 
+    def _key_slice_latest(self, key_value, strict_event_time: bool = False) -> DataFrame:
+        """Latest record for ONE key via the stats-pruned read path: the
+        table's per-file min/max skips every file whose key range excludes
+        the key, so after compact(cluster_by=[key]) a point read lists ~1
+        file instead of scanning the table. Latest-per-key over only this
+        key's rows is identical to filtering the full online view."""
+        hist = self.table.read(where=[(self.key_col, "=", key_value)])
+        if strict_event_time:
+            max_of = [self.event_time_col, "_commit_version"]
+        else:
+            max_of = ["_commit_version", self.event_time_col]
+        return latest_per_key_agg(hist, self.key_col, max_of).drop("_commit_version")
+
     def exists(self, key_value) -> bool:
         return (
-            self.online_view()
-            .where(F.col(self.key_col) == F.lit(key_value))
+            self.table.read(where=[(self.key_col, "=", key_value)])
             .limit(1)
             .count()
             > 0
@@ -124,13 +136,12 @@ class FeatureGroup:
     def get_latest(self, key_value) -> dict | None:
         """Point read of the latest record (get_latest_features :184-204).
 
-        Scan-based here; at serving scale this view is cached / key-
-        partitioned (documented scope: micro-batch freshness, like the
-        reference outsourcing ms-latency serving to AWS).
+        Stats-pruned key-slice scan (see _key_slice_latest); at serving
+        scale the residual is cached / key-clustered (documented scope:
+        micro-batch freshness, like the reference outsourcing ms-latency
+        serving to AWS).
         """
-        rows = (
-            self.online_view().where(F.col(self.key_col) == F.lit(key_value)).collect()
-        )
+        rows = self._key_slice_latest(key_value).collect()
         return rows[0].asDict() if rows else None
 
     # -- upsert (the feature-store core) ------------------------------------

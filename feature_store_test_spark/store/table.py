@@ -22,6 +22,7 @@ documented equivalence, same plans.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import tempfile
@@ -29,10 +30,52 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _LOG_DIR = "_commits"
 _DATA_DIR = "data"
+
+# types whose per-file min/max are meaningful and JSON-serializable —
+# arrays/maps/binary are excluded (no total order worth skipping on)
+_STAT_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.StringType, T.BooleanType,
+    T.DateType, T.TimestampType,
+)
+
+
+def _stat_value(v):
+    """JSON-safe stat encoding; isoformat keeps timestamp/date ordering
+    lexicographic so pruning compares strings, never parses."""
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
+def _may_match(stats: dict, col: str, op: str, value) -> bool:
+    """Can any row of a file with these stats satisfy ``col op value``?
+    Conservative: missing stats → True (never prune without evidence);
+    all-null column (min is None) → False (comparisons are never true on
+    NULL, so the file cannot contribute)."""
+    s = stats.get(col)
+    if s is None:
+        return True
+    mn, mx = s.get("min"), s.get("max")
+    if mn is None or mx is None:
+        return False
+    v = _stat_value(value)
+    if op == "=":
+        return mn <= v <= mx
+    if op == "<":
+        return mn < v
+    if op == "<=":
+        return mn <= v
+    if op == ">":
+        return mx > v
+    if op == ">=":
+        return mx >= v
+    raise ValueError(f"unsupported skip predicate op: {op!r}")
 
 
 class VersionedParquetTable:
@@ -77,6 +120,46 @@ class VersionedParquetTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
+    # -- file statistics -----------------------------------------------------
+    def _collect_file_stats(self, data_dir: str, schema: T.StructType) -> list[dict]:
+        """Per-file row count + min/max per eligible column, in ONE scan
+        grouped by ``_metadata.file_path`` (the write-time stats Delta
+        keeps in its log; Iceberg in manifests). At 100 TB these are what
+        turn a point read into an O(files-touched) operation instead of a
+        full scan — the log stays tiny (stats rows, not data rows) and the
+        scan is executor-parallel over freshly written, page-cached files.
+        """
+        stat_cols = [
+            f.name for f in schema.fields if isinstance(f.dataType, _STAT_TYPES)
+        ]
+        df = self.spark.read.schema(schema).parquet(data_dir)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in stat_cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        rows = (
+            df.groupBy(F.col("_metadata.file_path").alias("__path"))
+            .agg(*aggs)
+            .collect()
+        )
+        out = []
+        for r in rows:
+            d = r.asDict()
+            out.append(
+                {
+                    "path": d["__path"].removeprefix("file://"),
+                    "rows": d["__rows"],
+                    "stats": {
+                        c: {
+                            "min": _stat_value(d[f"__mn_{c}"]),
+                            "max": _stat_value(d[f"__mx_{c}"]),
+                        }
+                        for c in stat_cols
+                    },
+                }
+            )
+        return out
+
     # -- write --------------------------------------------------------------
     def append(self, df: DataFrame) -> int:
         """Append a new immutable version; returns the committed version id.
@@ -102,6 +185,7 @@ class VersionedParquetTable:
             "data_dir": data_dir,
             "ts_unix": time.time(),
             "schema": df.schema.jsonValue(),
+            "files": self._collect_file_stats(data_dir, self.schema),
         }
         fd, tmp = tempfile.mkstemp(dir=self._log_path, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
@@ -110,7 +194,9 @@ class VersionedParquetTable:
         return version
 
     # -- maintenance --------------------------------------------------------
-    def compact(self) -> int:
+    def compact(
+        self, cluster_by: list[str] | None = None, n_files: int | None = None
+    ) -> int:
         """Rewrite the current snapshot as one commit (OPTIMIZE analog).
 
         Small-file mitigation: N append commits become a single data dir;
@@ -120,11 +206,34 @@ class VersionedParquetTable:
         survive compaction bit-for-bit. Old dirs are kept for time travel
         (a vacuum policy would garbage-collect them after a retention
         window, exactly like Delta).
+
+        ``cluster_by``: range-cluster the rewrite on these columns
+        (repartitionByRange + sortWithinPartitions — the OPTIMIZE ZORDER /
+        liquid-clustering analog). Files then hold disjoint key ranges, so
+        the per-file min/max stats become *tight* and a point read prunes
+        to ~1 file instead of all of them. Cluster on the serving key; at
+        100 TB this is the difference between a point read touching one
+        row group and touching every file in the table.
+
+        ``n_files``: explicit output file count (the OPTIMIZE target-file-
+        size knob, expressed as a count). Without it AQE sizes the shuffle
+        — right at scale, but at toy scale it coalesces everything into
+        one file and there is nothing left to skip.
         """
         base = self.latest_version()
         if base is None:
             raise ValueError("nothing to compact: table has no commits")
         snapshot = self.read()  # includes _commit_version
+        if cluster_by:
+            missing = set(cluster_by) - set(self.schema.fieldNames())
+            if missing:
+                raise ValueError(f"cluster columns not in schema: {sorted(missing)}")
+            range_args = ([n_files] if n_files else []) + list(cluster_by)
+            snapshot = snapshot.repartitionByRange(*range_args).sortWithinPartitions(
+                *cluster_by
+            )
+        elif n_files:
+            snapshot = snapshot.repartition(n_files)
         os.makedirs(self._log_path, exist_ok=True)
         version = base + 1
         data_dir = os.path.join(
@@ -134,6 +243,9 @@ class VersionedParquetTable:
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(data_dir)
+        compact_schema = T.StructType(
+            [*self.schema.fields, T.StructField("_commit_version", T.IntegerType())]
+        )
         commit = {
             "version": version,
             "type": "compact",
@@ -141,6 +253,8 @@ class VersionedParquetTable:
             "data_dir": data_dir,
             "ts_unix": time.time(),
             "schema": snapshot.schema.jsonValue(),
+            "cluster_by": cluster_by or [],
+            "files": self._collect_file_stats(data_dir, compact_schema),
         }
         fd, tmp = tempfile.mkstemp(dir=self._log_path, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
@@ -181,33 +295,19 @@ class VersionedParquetTable:
         return removed
 
     # -- read ---------------------------------------------------------------
-    def read(self, as_of_version: int | None = None) -> DataFrame:
-        """Snapshot read of all rows, optionally time-traveled.
-
-        Adds ``_commit_version`` (the ingest sequence number) — the
-        arrival-order axis used by parity-mode "latest" semantics
-        (SURVEY.md §2.13 Q5).
-        """
-        from pyspark.sql import functions as F
-
+    def _visible_commits(self, as_of_version: int | None) -> tuple[dict | None, list[dict]]:
+        """(latest visible compaction, visible append commits) for a
+        snapshot — a compaction replaces every commit at or below its
+        base_version (older dirs remain only for deeper time travel)."""
         versions = self.versions()
         if as_of_version is not None:
             versions = [v for v in versions if v <= as_of_version]
-        if not versions:
-            empty = self.spark.createDataFrame([], self.schema)
-            return empty.withColumn("_commit_version", F.lit(None).cast("int"))
-
         commits = []
         for v in versions:
             with open(self._commit_file(v)) as f:
                 commits.append(json.load(f))
-        # honor the latest visible compaction: it replaces every commit at
-        # or below its base_version (older dirs remain only for deeper
-        # time travel)
         compacts = [c for c in commits if c.get("type") == "compact"]
         compact = max(compacts, key=lambda c: c["version"]) if compacts else None
-        cols = [*self.schema.fieldNames(), "_commit_version"]
-
         visible_appends = [
             c
             for c in commits
@@ -220,36 +320,139 @@ class VersionedParquetTable:
                 f"versions {gone} were vacuumed; time travel below the "
                 "compaction base is no longer available"
             )
-        append_dirs = [c["data_dir"] for c in visible_appends]
+        return compact, visible_appends
+
+    @staticmethod
+    def _candidate_files(commit: dict, where: list[tuple]) -> list[str] | None:
+        """File paths of this commit that may hold matching rows, or None
+        when the commit predates stats (→ scan its whole dir)."""
+        files = commit.get("files")
+        if files is None:
+            return None
+        return [
+            f["path"]
+            for f in files
+            if all(_may_match(f["stats"], c, op, v) for (c, op, v) in where)
+        ]
+
+    def read(
+        self,
+        as_of_version: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Snapshot read of all rows, optionally time-traveled.
+
+        Adds ``_commit_version`` (the ingest sequence number) — the
+        arrival-order axis used by parity-mode "latest" semantics
+        (SURVEY.md §2.13 Q5).
+
+        ``where``: list of ``(col, op, value)`` with op in {=,<,<=,>,>=},
+        ANDed. Used twice: files whose min/max stats cannot satisfy the
+        conjunction are SKIPPED before Spark ever lists them (data
+        skipping, the Delta/Iceberg stats-pruning idea), and the exact
+        predicate is applied to the surviving rows — so the result equals
+        ``read().where(...)`` while a clustered point read touches ~1 file.
+        """
+        compact, visible_appends = self._visible_commits(as_of_version)
+        if compact is None and not visible_appends:
+            empty = self.spark.createDataFrame([], self.schema)
+            return empty.withColumn("_commit_version", F.lit(None).cast("int"))
+
+        cols = [*self.schema.fieldNames(), "_commit_version"]
+        compact_schema = T.StructType(
+            [*self.schema.fields, T.StructField("_commit_version", T.IntegerType())]
+        )
+        version_from_path = F.regexp_extract(
+            F.col("_metadata.file_path"), r"/v(\d{10})-[0-9a-f]{8}/", 1
+        ).cast("int")
 
         parts = []
-        if compact is not None:
-            # compacted files carry _commit_version as a real column
-            compact_schema = T.StructType(
-                [*self.schema.fields, T.StructField("_commit_version", T.IntegerType())]
-            )
-            parts.append(
-                self.spark.read.schema(compact_schema)
-                .parquet(compact["data_dir"])
-                .select(*cols)
-            )
-        if append_dirs:
-            # ONE multi-path scan for all append commits (a union-per-commit
-            # plan grows linearly with history and chokes the optimizer);
-            # the commit version is recovered from the data-dir name via
-            # _metadata.file_path (input_file_name() is non-deterministic
-            # and would block predicate/partition pushdown).
-            out = self.spark.read.schema(self.schema).parquet(*append_dirs)
-            version_from_path = F.regexp_extract(
-                F.col("_metadata.file_path"), r"/v(\d{10})-[0-9a-f]{8}/", 1
-            ).cast("int")
-            parts.append(
-                out.withColumn("_commit_version", version_from_path).select(*cols)
-            )
-        result = parts[0]
-        for p in parts[1:]:
-            result = result.unionByName(p)
+        if where:
+            # stats-pruned read: per-commit candidate file lists; basePath
+            # keeps hive-partition columns resolvable from leaf paths. The
+            # per-commit scan granularity is fine HERE because pruning is
+            # for point/range reads that touch few commits and files —
+            # full scans take the else-branch's single multi-dir read.
+            for c in ([compact] if compact else []) + visible_appends:
+                cand = self._candidate_files(c, where)
+                if cand is not None and not cand:
+                    continue
+                is_compact = c.get("type") == "compact"
+                reader = (
+                    self.spark.read.schema(compact_schema if is_compact else self.schema)
+                    .option("basePath", c["data_dir"])
+                )
+                df = reader.parquet(*(cand if cand is not None else [c["data_dir"]]))
+                if not is_compact:
+                    df = df.withColumn("_commit_version", version_from_path)
+                parts.append(df.select(*cols))
+        else:
+            if compact is not None:
+                # compacted files carry _commit_version as a real column
+                parts.append(
+                    self.spark.read.schema(compact_schema)
+                    .parquet(compact["data_dir"])
+                    .select(*cols)
+                )
+            if visible_appends:
+                # ONE multi-path scan for all append commits (a union-per-
+                # commit plan grows linearly with history and chokes the
+                # optimizer); the commit version is recovered from the
+                # data-dir name via _metadata.file_path (input_file_name()
+                # is non-deterministic and would block pushdown).
+                out = self.spark.read.schema(self.schema).parquet(
+                    *[c["data_dir"] for c in visible_appends]
+                )
+                parts.append(
+                    out.withColumn("_commit_version", version_from_path).select(*cols)
+                )
+
+        if not parts:
+            empty = self.spark.createDataFrame([], self.schema)
+            result = empty.withColumn("_commit_version", F.lit(None).cast("int"))
+        else:
+            result = parts[0]
+            for p in parts[1:]:
+                result = result.unionByName(p)
+        if where:
+            for c, op, v in where:
+                col = F.col(c)
+                cond = {
+                    "=": col == v, "<": col < v, "<=": col <= v,
+                    ">": col > v, ">=": col >= v,
+                }[op]
+                result = result.where(cond)
         return result
+
+    def skipping_report(
+        self, where: list[tuple], as_of_version: int | None = None
+    ) -> dict:
+        """Log-only pruning preview (no data IO): how many files/rows the
+        snapshot holds vs how many survive stats pruning for ``where``.
+        The observability hook tests and capacity planning use to check a
+        clustering layout actually earns its rewrite."""
+        compact, visible_appends = self._visible_commits(as_of_version)
+        total_f = cand_f = total_r = cand_r = 0
+        no_stats = 0
+        for c in ([compact] if compact else []) + visible_appends:
+            files = c.get("files")
+            if files is None:
+                no_stats += 1
+                continue
+            cand = set(self._candidate_files(c, where))
+            for f in files:
+                total_f += 1
+                total_r += f["rows"]
+                if f["path"] in cand:
+                    cand_f += 1
+                    cand_r += f["rows"]
+        return {
+            "total_files": total_f,
+            "candidate_files": cand_f,
+            "total_rows": total_r,
+            "candidate_rows": cand_r,
+            "commits_without_stats": no_stats,
+        }
 
     def history(self) -> list[dict]:
         out = []

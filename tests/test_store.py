@@ -310,3 +310,109 @@ def test_vacuum_after_compaction(spark, tmp_path):
     t2 = VersionedParquetTable(spark, str(tmp_path / "t2"), schema)
     t2.append(spark.createDataFrame([(1,)], schema))
     assert t2.vacuum() == []
+
+
+# -- data skipping (file stats + clustered compaction) -----------------------
+
+KV_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _kv_table(spark, tmp_path, n=1000, commits=4):
+    t = VersionedParquetTable(spark, str(tmp_path / "kv"), KV_SCHEMA)
+    per = n // commits
+    for i in range(commits):
+        rows = [
+            (j, float(j) / 7.0, ts(1 + j % 27)) for j in range(i * per, (i + 1) * per)
+        ]
+        t.append(spark.createDataFrame(rows, KV_SCHEMA).repartition(4))
+    return t
+
+
+def test_commit_log_records_file_stats(spark, tmp_path):
+    t = _kv_table(spark, tmp_path, n=100, commits=1)
+    files = t.history()[0]["files"]
+    assert files and all(f["rows"] > 0 for f in files)
+    ks = [f["stats"]["k"] for f in files]
+    assert min(s["min"] for s in ks) == 0 and max(s["max"] for s in ks) == 99
+    # timestamps serialize as isoformat strings (lexicographically ordered)
+    assert all(isinstance(f["stats"]["ts"]["min"], str) for f in files)
+
+
+def test_pruned_read_equals_filtered_read(spark, tmp_path):
+    t = _kv_table(spark, tmp_path)
+    for where in (
+        [("k", "=", 123)],
+        [("k", ">=", 100), ("k", "<", 200)],
+        [("ts", ">=", ts(20))],
+        [("k", ">", 10_000)],  # empty result
+    ):
+        pruned = t.read(where=where)
+        full = t.read()
+        for c, op, v in where:
+            col = F.col(c)
+            full = full.where(
+                {"=": col == v, "<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}[op]
+            )
+        assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_clustered_compaction_tightens_pruning(spark, tmp_path):
+    t = _kv_table(spark, tmp_path)
+    before = t.skipping_report([("k", "=", 123)])
+    assert before["candidate_files"] >= 1
+    t.compact(cluster_by=["k"], n_files=8)
+    after = t.skipping_report([("k", "=", 123)])
+    # range clustering → disjoint per-file key ranges → a point predicate
+    # matches ~1 file; results unchanged
+    assert after["candidate_files"] < after["total_files"]
+    assert after["candidate_files"] <= 2
+    assert after["candidate_rows"] < after["total_rows"]
+    got = t.read(where=[("k", "=", 123)]).drop("_commit_version").collect()
+    assert [tuple(r)[:2] for r in got] == [(123, 123 / 7.0)]
+
+
+def test_skipping_report_counts_all_files_without_where_effect(spark, tmp_path):
+    t = _kv_table(spark, tmp_path, n=200, commits=2)
+    rep = t.skipping_report([("k", ">=", 0)])
+    assert rep["candidate_files"] == rep["total_files"]
+    assert rep["total_rows"] == 200
+    assert rep["commits_without_stats"] == 0
+
+
+def test_pruned_read_on_partitioned_table(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("event_date", T.StringType()),
+        ]
+    )
+    t = VersionedParquetTable(
+        spark, str(tmp_path / "pt"), schema, partition_cols=["event_date"]
+    )
+    rows = [(j, float(j), f"2024-01-{1 + j % 3:02d}") for j in range(90)]
+    t.append(spark.createDataFrame(rows, schema))
+    # partition column values survive leaf-file reads (basePath) and the
+    # stats prune on the partition column too
+    got = t.read(where=[("event_date", "=", "2024-01-02"), ("k", "<", 10)])
+    assert sorted(r.k for r in got.collect()) == [1, 4, 7]
+    rep = t.skipping_report([("event_date", "=", "2024-01-02")])
+    assert rep["candidate_files"] < rep["total_files"]
+
+
+def test_point_read_uses_pruned_path_after_clustering(spark, tmp_path):
+    fg = make_fg(spark, tmp_path)
+    fg.ingest(spark.createDataFrame([row(1, 1, 10.0, 10.0, 5.0, 5.0)], FG_SCHEMA))
+    fg.ingest(spark.createDataFrame([row(2, 2, 20.0, 20.0, 6.0, 6.0)], FG_SCHEMA))
+    fg.table.compact(cluster_by=["customer_id"], n_files=2)
+    rep = fg.table.skipping_report([("customer_id", "=", 2)])
+    assert rep["candidate_files"] < rep["total_files"]
+    rec = fg.get_latest(2)
+    assert rec["latest_purchase_value"] == 20.0
+    assert fg.exists(2) and not fg.exists(99)
