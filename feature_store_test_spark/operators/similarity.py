@@ -268,3 +268,39 @@ def ivf_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def ivf_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Fit IVF coarse centroids with pyspark.ml KMeans → (cid, cv) frame.
+
+    Vectors are L2-normalized before the (Euclidean) fit, so nearest-by-L2
+    equals nearest-by-cosine and the centroids compose directly with
+    ``ivf_assign``/``ivf_ann_topk``'s cosine cell assignment.
+
+    Scale: KMeans is the classic IVF coarse quantizer — distributed
+    Lloyd iterations over the corpus (or a sample; thousands of cells for
+    billions of vectors), after which the trained centroid table is tiny
+    and broadcast everywhere. Deterministic for a fixed seed + partitioning,
+    but a *training* step, not a SQL expression — queries built on it are
+    rows-only checked (equivalence/recall tests, not a DuckDB oracle).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+    )
+    fit_df = corpus.select(array_to_vector(unit).alias("__features"))
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__features"
+    ).fit(fit_df)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(rows, "cid int, cv array<double>")

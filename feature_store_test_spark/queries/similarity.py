@@ -190,3 +190,30 @@ def q63_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_probe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q68 — IVF ANN with TRAINED centroids: pyspark.ml KMeans coarse quantizer
+# (the production IVF form; q63 is the seeded-centroid oracle-checkable
+# variant). No oracle: KMeans training is iterative, not SQL-expressible;
+# the pytest suite asserts determinism and recall vs the exact q28 baseline
+# (>= 0.4 while probing 2 of 8 cells).
+# ---------------------------------------------------------------------------
+@register(
+    "q68_ivf_trained_ann",
+    oracle=None,
+    doc="IVF-flat ANN with KMeans-trained centroids (k=8, nprobe=2) — rows-only check",
+    tags=("similarity", "ivf", "ml", "approx"),
+)
+def q68_ivf_trained_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.similarity import ivf_ann_topk, ivf_train
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = ivf_train(emb, n_cells=8, seed=42)
+    return ivf_ann_topk(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 20),
+        centroids=centroids,
+        k=5,
+        n_probe=2,
+    )
