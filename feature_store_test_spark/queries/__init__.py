@@ -3,6 +3,7 @@
 Modules:
     relational      scans, filters, joins, aggs, windows, sorts, set ops (SURVEY §2.1-2.8)
     relational2     grouping sets, TPC-H Q12/Q13/Q17/Q19/Q22 shapes, sliding windows, range frames
+    relational3     TPC-H Q4/Q7/Q8/Q9/Q11/Q15/Q16/Q18/Q20/Q21 shapes (semi/anti/scalar-subquery forms)
     feature_parity  reference feature-store semantics re-expressed on Spark (SURVEY §2.4, §2.9-2.10)
     dedup           exact + near-duplicate detection (north-star)
     text            text analysis: tokens, language id, quality, fingerprints (north-star)
@@ -18,6 +19,7 @@ from feature_store_test_spark.queries import (  # noqa: F401
     multimodal,
     relational,
     relational2,
+    relational3,
     similarity,
     text,
 )
