@@ -10,6 +10,7 @@ Modules:
     similarity      embedding similarity search (north-star)
     multimodal      binary media columns + stub codec plumbing (north-star)
     extended        pandas UDFs, event-time windows, cube, approx aggs, LSH ANN
+    pipeline        training-data pipeline: hash splits, source mixing, packing, range join
 """
 
 from feature_store_test_spark.queries import (  # noqa: F401
@@ -17,6 +18,7 @@ from feature_store_test_spark.queries import (  # noqa: F401
     extended,
     feature_parity,
     multimodal,
+    pipeline,
     relational,
     relational2,
     relational3,

@@ -1,0 +1,238 @@
+"""Training-data pipeline operators: the operations a 100 TB pretraining
+corpus pipeline runs between raw documents and model-ready batches.
+
+All of them are *deterministic* — splits and sampling decide by md5 hash
+prefix, not RNG — because reproducibility is non-negotiable in a training
+pipeline (re-running the job must yield byte-identical splits) and because
+it makes every one of them DuckDB-oracle-checkable (identical md5 hex both
+engines, compared lexicographically; see operators/dedup.py).
+
+* q79 — hash-based train/val/test split (the industry-standard way to
+  split a corpus that grows: membership is a pure function of the key).
+* q80 — weighted source mixing (per-source sampling rates, the "data
+  recipe" step that upsamples/downsamples corpora).
+* q81 — sequence packing by concat-and-chunk: cumulative token offsets
+  assign each doc to a fixed-budget context bin (GPT-style packing).
+* q82 — binned range join: events joined into activity windows — the
+  scale-safe interval-join pattern (operators/rangejoin.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feature_store_test_spark.data import load_table
+from feature_store_test_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Q79 — deterministic train/val/test split: bucket = first 2 hex chars of
+# md5(doc_id), compared lexicographically ('cd'/'e6' ≈ 80/10/10 of the 256
+# byte values). Membership is a pure function of the key: adding documents
+# never reshuffles existing assignments, every engine derives the same
+# split, and no split-assignment table needs to exist.
+# Scale: embarrassingly parallel (a map-only stage fused into the scan);
+# the per-split report agg is one small shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "q79_hash_split",
+    oracle="""
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    doc="deterministic md5-bucket train/val/test split report (≈80/10/10)",
+    tags=("pipeline", "split", "hash"),
+)
+def q79_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q80 — weighted source mixing: each source gets a sampling rate (the "data
+# recipe"); a row survives iff its md5 prefix falls under the rate
+# threshold. Deterministic: re-runs keep exactly the same rows. Thresholds
+# are expressed as 2-hex-char cutoffs so both engines compare identically.
+# Scale: the recipe is a tiny literal dim → broadcast; the filter is
+# map-side (no shuffle until the report agg). At 100 TB this is the step
+# that turns 15 raw corpora into one weighted training mix.
+# ---------------------------------------------------------------------------
+@register(
+    "q80_source_mixing",
+    oracle="""
+    WITH recipe AS (
+      SELECT * FROM (VALUES
+        ('src0', 'ff'), ('src1', 'ff'), ('src2', 'ff'), ('src3', 'ff'),
+        ('src4', '80'), ('src5', '80'), ('src6', '80'), ('src7', '80'),
+        ('src8', '40'), ('src9', '40'), ('src10', '40'), ('src11', '40'),
+        ('src12', '20'), ('src13', '20'), ('src14', '20'), ('src15', '20'),
+        ('src16', '10'), ('src17', '10'), ('src18', '10'), ('src19', '10')
+      ) AS t(source, cutoff)
+    )
+    SELECT d.source, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents d JOIN recipe r ON d.source = r.source
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < r.cutoff
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc="deterministic weighted source mixing via per-source md5 cutoffs",
+    tags=("pipeline", "sampling", "hash", "broadcast"),
+)
+def q80_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cutoffs = (
+        [(f"src{i}", "ff") for i in range(4)]
+        + [(f"src{i}", "80") for i in range(4, 8)]
+        + [(f"src{i}", "40") for i in range(8, 12)]
+        + [(f"src{i}", "20") for i in range(12, 16)]
+        + [(f"src{i}", "10") for i in range(16, 20)]
+    )
+    recipe = docs.sparkSession.createDataFrame(
+        cutoffs, "source string, cutoff string"
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.join(F.broadcast(recipe), "source")
+        .where(h < F.col("cutoff"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q81 — sequence packing (concat-and-chunk): within each language stream,
+# documents are concatenated in doc_id order and chunked into fixed
+# token-budget contexts; a document's bin is where its START offset falls
+# (bin = floor((cumsum − n_tokens) / budget) over an exact integer running
+# sum — no floats anywhere, so both engines agree bit-for-bit).
+# Scale: one shuffle on the partition key + an in-partition running sum.
+# The global-order dependence is confined to each stream; at 100 TB the
+# stream key would be (lang, shard) so partitions stay bounded — the same
+# window then runs per shard unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "q81_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) / 512) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT lang, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY lang, bin
+    ORDER BY lang, bin
+    """,
+    doc="GPT-style sequence packing: cumulative token offsets → 512-token bins",
+    tags=("pipeline", "window", "packing"),
+)
+def q81_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n_tokens = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select("lang", "doc_id", n_tokens.alias("n_tokens"))
+    packed = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512).cast("bigint"),
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q82 — binned range join: each user's first-activity-of-the-day window
+# (first event, +2 h) joined against ALL events falling inside it —
+# a pure interval join with no useful equi key on the probe side. The Spark
+# plan uses operators/rangejoin.py (explode intervals to 1-hour bins →
+# equi join on bin → exact refine) instead of the BroadcastNestedLoopJoin
+# a naive BETWEEN would produce; the oracle states the naive form.
+# Scale: O(matches) work after one shuffle on bin id; see rangejoin.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q82_activity_window_join",
+    oracle="""
+    WITH win AS (
+      SELECT user_id AS w_user, CAST(ts AS DATE) AS w_day,
+             MIN(ts) AS w_start, MIN(ts) + INTERVAL 2 HOUR AS w_end
+      FROM events
+      WHERE user_id < 30
+      GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT w_user, w_day, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS window_value
+    FROM win JOIN events e ON e.ts >= w_start AND e.ts <= w_end
+    GROUP BY w_user, w_day
+    ORDER BY w_user, w_day
+    """,
+    doc="binned interval join: global events within each user's first-activity window",
+    tags=("pipeline", "rangejoin", "join", "agg"),
+)
+def q82_activity_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, "events", sf_dir)
+    win = (
+        ev.where(F.col("user_id") < 30)
+        .groupBy(
+            F.col("user_id").alias("w_user"),
+            F.col("ts").cast("date").alias("w_day"),
+        )
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    joined = interval_join(
+        ev.select("ts", "value"), win, probe_ts="ts", start="w_start", end="w_end"
+    )
+    return (
+        joined.groupBy("w_user", "w_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("window_value"),
+        )
+        .orderBy("w_user", "w_day")
+    )
