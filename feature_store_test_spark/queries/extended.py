@@ -697,3 +697,49 @@ def q53_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (vocab == rvocab).alias("palindrome_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q83 — skew-safe salted JOIN (operators/skew.py::salted_join): the big
+# side is salted, the mid-size side replicated n_salt×, the equi join runs
+# on (key, salt) — a hot key spreads over n_salt tasks. The result is
+# salt-independent, so the oracle is simply the plain join. Use over
+# broadcast only when the small side doesn't fit and AQE's skew split
+# can't see the skew (single ultra-hot key).
+# ---------------------------------------------------------------------------
+@register(
+    "q83_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="salted skew-safe join matching the plain join (salt-independent result)",
+    tags=("join", "skew", "agg"),
+)
+def q83_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", n_salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -99,3 +99,25 @@ def test_asof_join_composite_keys(spark):
         ).collect()
     }
     assert out == {(1, "eu"): 10.0, (1, "us"): 20.0}
+
+
+def test_salted_join_matches_plain_join_with_hot_key(spark):
+    """A single ultra-hot key (80% of the big side) joins identically via
+    the salted path, including left-join misses."""
+    from pyspark.sql import functions as F
+
+    from feature_store_test_spark.operators.skew import salted_join
+
+    big = spark.range(10_000).select(
+        F.when(F.col("id") < 8_000, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(40).select(
+        F.col("id").alias("sk"), (F.col("id") * 10).alias("dim")
+    )
+    for how in ["inner", "left"]:
+        got = salted_join(big, small, "k", "sk", n_salt=4, how=how)
+        want = big.join(small, F.col("k") == F.col("sk"), how)
+        g = sorted((r.payload, r.dim) for r in got.collect())
+        w = sorted((r.payload, r.dim) for r in want.collect())
+        assert g == w, how
