@@ -30,6 +30,10 @@ HEADLINE = [
     "q40_sessionize",            # gap sessionization
     "q41_salted_agg",            # skew-bounded two-stage agg
     "q42_sql_shipping_priority", # pure-SQL 3-table join + topk
+    "q76_large_orders",          # IN-over-HAVING semi join (TPC-H Q18 shape)
+    "q78_lonely_late_supplier",  # EXISTS + NOT EXISTS self-joins (TPC-H Q21 shape)
+    "q81_sequence_packing",      # running-sum context packing
+    "q82_activity_window_join",  # binned interval join
 ]
 
 
