@@ -38,7 +38,10 @@ def _dec_sum(col: str | F.Column, scale: int = 2, out: str | None = None) -> F.C
     return expr.alias(out) if out else expr
 
 
-_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _revenue() -> F.Column:
+    """Per-line revenue expression (lazy: building a Column requires an
+    active session, so no module-level F.col)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 # ---------------------------------------------------------------------------
@@ -137,7 +140,7 @@ def q70_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(_dec_sum(_REVENUE, 4, "revenue"))
+        .agg(_dec_sum(_revenue(), 4, "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -189,7 +192,7 @@ def q71_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
         F.col("n_nationkey").alias("n2_key")
     )
-    vol = _REVENUE.cast("decimal(18,4)")
+    vol = _revenue().cast("decimal(18,4)")
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -201,7 +204,7 @@ def q71_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    F.when(F.col("supp_nation") == "NATION_15", _REVENUE)
+                    F.when(F.col("supp_nation") == "NATION_15", _revenue())
                     .otherwise(F.lit(0))
                     .cast("decimal(18,4)")
                 ).cast("double")
@@ -253,7 +256,7 @@ def q72_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
     cost = F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
-    profit = _REVENUE.cast("decimal(18,4)") - cost.cast("decimal(18,4)")
+    profit = _revenue().cast("decimal(18,4)") - cost.cast("decimal(18,4)")
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -304,7 +307,7 @@ def q73_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice_df = (
         li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("l_partkey", _REVENUE.cast("decimal(18,4)").alias("val"))
+        .select("l_partkey", _revenue().cast("decimal(18,4)").alias("val"))
     )
     per_part = slice_df.groupBy("l_partkey").agg(
         F.sum("val").cast("double").alias("part_value")
@@ -357,7 +360,7 @@ def q74_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(_dec_sum(_REVENUE, 4, "total_revenue"))
+        .agg(_dec_sum(_revenue(), 4, "total_revenue"))
     )
     top = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (

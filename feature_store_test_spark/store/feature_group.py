@@ -84,6 +84,41 @@ class FeatureGroup:
             f"ORDER BY {self.key_col}, {self.event_time_col} DESC"
         )
 
+    def changes(
+        self, since_version: int, until_version: int | None = None
+    ) -> DataFrame:
+        """Key-level change data feed over the offline history: rows
+        committed in versions (since, until], each tagged ``_change_type``
+        = 'insert' (first version this key ever appeared in) or 'update'
+        (key existed in an earlier commit) — the Delta CDF contract for an
+        append-only upsert log. Incremental online-view refresh and
+        downstream retraining consume this instead of re-reading the table.
+
+        Scale: the changed rows come from reading ONLY the new commits
+        (table.changes); the insert/update classification needs each key's
+        first-ever version, obtained from a keys-only projection of
+        history aggregated min(_commit_version) — a shuffle of (key,
+        version) pairs, not feature payloads, then a broadcast-friendly
+        join onto the (small) change slice.
+        """
+        delta = self.table.changes(since_version, until_version)
+        first_seen = (
+            self.table.read(as_of_version=until_version)
+            .select(self.key_col, "_commit_version")
+            .groupBy(self.key_col)
+            .agg(F.min("_commit_version").alias("__first_v"))
+        )
+        return (
+            delta.join(first_seen, on=self.key_col, how="left")
+            .withColumn(
+                "_change_type",
+                F.when(
+                    F.col("_commit_version") == F.col("__first_v"), F.lit("insert")
+                ).otherwise(F.lit("update")),
+            )
+            .drop("__first_v")
+        )
+
     # -- online store -------------------------------------------------------
     def online_view(self, strict_event_time: bool = False) -> DataFrame:
         """Latest record per key.

@@ -120,6 +120,10 @@ class VersionedParquetTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
+    def _load_commit(self, version: int) -> dict:
+        with open(self._commit_file(version)) as f:
+            return json.load(f)
+
     # -- file statistics -----------------------------------------------------
     def _collect_file_stats(self, data_dir: str, schema: T.StructType) -> list[dict]:
         """Per-file row count + min/max per eligible column, in ONE scan
@@ -160,13 +164,65 @@ class VersionedParquetTable:
             )
         return out
 
+    # -- schema evolution ----------------------------------------------------
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "VersionedParquetTable":
+        """Reopen an existing table from its commit log alone — the schema
+        (including any evolution) and partition layout come from the LATEST
+        commit, exactly how Delta/Iceberg readers resolve table metadata.
+        No schema argument means no drift between writer and reader."""
+        probe = cls(spark, path, T.StructType([]))
+        latest = probe.latest_version()
+        if latest is None:
+            raise ValueError(f"no commits at {path}")
+        with open(probe._commit_file(latest)) as f:
+            commit = json.load(f)
+        schema = T.StructType.fromJson(commit["schema"])
+        fields = [f for f in schema.fields if f.name != "_commit_version"]
+        return cls(
+            spark,
+            path,
+            T.StructType(fields),
+            partition_cols=commit.get("partition_cols") or [],
+        )
+
+    def _evolve_schema(self, incoming: T.StructType) -> None:
+        """Widen self.schema with columns new in ``incoming`` (appended at
+        the end, Delta mergeSchema semantics). Existing columns must keep
+        their types — type *changes* are rejected, only additions evolve."""
+        existing = {f.name: f.dataType for f in self.schema.fields}
+        for f in incoming.fields:
+            have = existing.get(f.name)
+            if have is not None and have != f.dataType:
+                raise ValueError(
+                    f"column {f.name!r} type change {have} -> {f.dataType} "
+                    "is not schema evolution; only new columns are mergeable"
+                )
+        new = [f for f in incoming.fields if f.name not in existing]
+        if new:
+            self.schema = T.StructType([*self.schema.fields, *new])
+
     # -- write --------------------------------------------------------------
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Append a new immutable version; returns the committed version id.
 
         Files first, then an atomic rename of the commit JSON — a reader
         enumerating the log sees either the whole commit or none of it.
+
+        ``merge_schema=True`` (Delta's mergeSchema): new columns in ``df``
+        widen the table schema; columns the table has but ``df`` lacks are
+        filled with NULL. Earlier commits' files simply lack the new
+        columns — the parquet reader yields NULL for them, so old
+        snapshots and the live table stay readable with one schema.
         """
+        if merge_schema:
+            self._evolve_schema(df.schema)
+            missing = [
+                f for f in self.schema.fields if f.name not in df.schema.fieldNames()
+            ]
+            for f in missing:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            df = df.select(*self.schema.fieldNames())
         if [f.name for f in df.schema.fields] != [f.name for f in self.schema.fields]:
             raise ValueError(
                 f"schema mismatch: expected {self.schema.fieldNames()}, "
@@ -185,6 +241,7 @@ class VersionedParquetTable:
             "data_dir": data_dir,
             "ts_unix": time.time(),
             "schema": df.schema.jsonValue(),
+            "partition_cols": self.partition_cols,
             "files": self._collect_file_stats(data_dir, self.schema),
         }
         fd, tmp = tempfile.mkstemp(dir=self._log_path, suffix=".tmp")
@@ -253,6 +310,7 @@ class VersionedParquetTable:
             "data_dir": data_dir,
             "ts_unix": time.time(),
             "schema": snapshot.schema.jsonValue(),
+            "partition_cols": self.partition_cols,
             "cluster_by": cluster_by or [],
             "files": self._collect_file_stats(data_dir, compact_schema),
         }
@@ -400,12 +458,32 @@ class VersionedParquetTable:
                 # optimizer); the commit version is recovered from the
                 # data-dir name via _metadata.file_path (input_file_name()
                 # is non-deterministic and would block pushdown).
-                out = self.spark.read.schema(self.schema).parquet(
-                    *[c["data_dir"] for c in visible_appends]
-                )
-                parts.append(
-                    out.withColumn("_commit_version", version_from_path).select(*cols)
-                )
+                # Hive-partitioned commits are the exception: Spark's
+                # partition discovery rejects multiple partitioned roots in
+                # one scan (CONFLICTING_DIRECTORY_STRUCTURES), so those
+                # read per-dir and union — compaction keeps that union
+                # short-lived.
+                if self.partition_cols:
+                    for c in visible_appends:
+                        out = (
+                            self.spark.read.schema(self.schema)
+                            .option("basePath", c["data_dir"])
+                            .parquet(c["data_dir"])
+                        )
+                        parts.append(
+                            out.withColumn(
+                                "_commit_version", F.lit(c["version"]).cast("int")
+                            ).select(*cols)
+                        )
+                else:
+                    out = self.spark.read.schema(self.schema).parquet(
+                        *[c["data_dir"] for c in visible_appends]
+                    )
+                    parts.append(
+                        out.withColumn("_commit_version", version_from_path).select(
+                            *cols
+                        )
+                    )
 
         if not parts:
             empty = self.spark.createDataFrame([], self.schema)
@@ -423,6 +501,70 @@ class VersionedParquetTable:
                 }[op]
                 result = result.where(cond)
         return result
+
+    def changes(
+        self, since_version: int, until_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed: rows committed in versions (since, until] —
+        the Delta CDF / Iceberg incremental-read idea. The table is
+        append-only, so every change is an insert at its commit version;
+        key-level insert-vs-update classification lives one layer up
+        (FeatureGroup.changes), where the key is known.
+
+        Incremental consumers (downstream training jobs, online-view
+        refreshers) read ONLY the new commits' directories — O(new data),
+        not O(table) — because the version filter selects whole data dirs
+        before any file IO.
+        """
+        until = until_version if until_version is not None else self.latest_version()
+        if until is None or until <= since_version:
+            empty = self.spark.createDataFrame([], self.schema)
+            return empty.withColumn("_commit_version", F.lit(None).cast("int"))
+        window = [
+            c
+            for c in (self._load_commit(v) for v in self.versions())
+            if since_version < c["version"] <= until
+        ]
+        if any(c.get("type") == "compact" for c in window):
+            # a compaction in range rewrote history; its dir mixes old and
+            # new rows, so fall back to snapshot + _commit_version filter
+            # (still correct — the version column is materialized)
+            out = self.read(as_of_version=until)
+            return out.where(F.col("_commit_version") > since_version)
+        dirs = [c["data_dir"] for c in window if c.get("data_dir")]
+        if len(dirs) < len(window):
+            raise ValueError("requested change range includes vacuumed commits")
+        if not dirs:
+            empty = self.spark.createDataFrame([], self.schema)
+            return empty.withColumn("_commit_version", F.lit(None).cast("int"))
+        cols = [*self.schema.fieldNames(), "_commit_version"]
+        if self.partition_cols:
+            # partitioned roots can't share one scan (see read()); union
+            parts = []
+            for c in window:
+                out = (
+                    self.spark.read.schema(self.schema)
+                    .option("basePath", c["data_dir"])
+                    .parquet(c["data_dir"])
+                )
+                parts.append(
+                    out.withColumn(
+                        "_commit_version", F.lit(c["version"]).cast("int")
+                    ).select(*cols)
+                )
+            result = parts[0]
+            for p in parts[1:]:
+                result = result.unionByName(p)
+            return result
+        version_from_path = F.regexp_extract(
+            F.col("_metadata.file_path"), r"/v(\d{10})-[0-9a-f]{8}/", 1
+        ).cast("int")
+        return (
+            self.spark.read.schema(self.schema)
+            .parquet(*dirs)
+            .withColumn("_commit_version", version_from_path)
+            .select(*cols)
+        )
 
     def skipping_report(
         self, where: list[tuple], as_of_version: int | None = None

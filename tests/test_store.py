@@ -416,3 +416,86 @@ def test_point_read_uses_pruned_path_after_clustering(spark, tmp_path):
     rec = fg.get_latest(2)
     assert rec["latest_purchase_value"] == 20.0
     assert fg.exists(2) and not fg.exists(99)
+
+
+def test_schema_evolution_widens_and_backfills_null(spark, tmp_path):
+    """mergeSchema: new column widens the table; old commits read as NULL
+    for it; missing columns in a later write are null-filled; type changes
+    are rejected."""
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    t = VersionedParquetTable(spark, str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    t.append(spark.createDataFrame([(2, "a")], "k long, tag string"), merge_schema=True)
+    assert t.schema.fieldNames() == ["k", "tag"]
+    got = {r.k: r.tag for r in t.read().collect()}
+    assert got == {1: None, 2: "a"}
+    # a writer still on the old column set is null-backfilled under merge
+    t.append(spark.createDataFrame([(3,)], "k long"), merge_schema=True)
+    assert {r.k: r.tag for r in t.read().collect()}[3] is None
+    # but an exact-schema writer without merge_schema is rejected
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(4,)], "k long"))
+    with pytest.raises(ValueError, match="not schema evolution"):
+        t.append(spark.createDataFrame([(5, 1.0)], "k long, tag double"), merge_schema=True)
+    # time travel to the pre-evolution snapshot still works (NULL tag)
+    v1 = sorted(t.versions())[0]
+    old = t.read(as_of_version=v1).collect()
+    assert [(r.k, r.tag) for r in old] == [(1, None)]
+
+
+def test_load_reopens_table_from_log(spark, tmp_path):
+    """A reader in another session reconstructs schema + partition layout
+    from the commit log alone."""
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("d", T.StringType())]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "t"), schema, partition_cols=["d"])
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    t.append(spark.createDataFrame([(3, "a", 9.5)], "k long, d string, score double"),
+             merge_schema=True)
+    re = VersionedParquetTable.load(spark, str(tmp_path / "t"))
+    assert re.schema.fieldNames() == ["k", "d", "score"]
+    assert re.partition_cols == ["d"]
+    assert re.read().count() == 3
+
+
+def test_table_changes_reads_only_new_commits(spark, tmp_path):
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    t = VersionedParquetTable(spark, str(tmp_path / "t"), schema)
+    v1 = t.append(spark.createDataFrame([(1,), (2,)], schema))
+    v2 = t.append(spark.createDataFrame([(3,)], schema))
+    v3 = t.append(spark.createDataFrame([(4,)], schema))
+    got = sorted(r.k for r in t.changes(v1).collect())
+    assert got == [3, 4]
+    got = sorted(r.k for r in t.changes(v1, until_version=v2).collect())
+    assert got == [3]
+    assert t.changes(v3).count() == 0
+    # the incremental read must not scan the v1 data dir at all
+    plan = t.changes(v1)._jdf.queryExecution().executedPlan().toString()
+    assert f"v{v1:010d}" not in plan
+
+
+def test_table_changes_across_compaction_falls_back_correctly(spark, tmp_path):
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    t = VersionedParquetTable(spark, str(tmp_path / "t"), schema)
+    v1 = t.append(spark.createDataFrame([(1,)], schema))
+    t.append(spark.createDataFrame([(2,)], schema))
+    t.compact()
+    t.append(spark.createDataFrame([(3,)], schema))
+    got = sorted(r.k for r in t.changes(v1).collect())
+    assert got == [2, 3]  # the compaction itself is not a data change
+
+
+def test_feature_group_change_feed_classifies_insert_vs_update(spark, tmp_path):
+    fg = make_fg(spark, tmp_path)
+    v1 = fg.ingest(spark.createDataFrame([row(1, 1, 10.0, 10.0, 5.0, 5.0)], FG_SCHEMA))
+    fg.ingest(
+        spark.createDataFrame(
+            [row(1, 2, 20.0, 15.0, 5.0, 5.0), row(2, 2, 30.0, 30.0, 7.0, 7.0)],
+            FG_SCHEMA,
+        )
+    )
+    ch = fg.changes(v1).select("customer_id", "_change_type").collect()
+    got = {(r.customer_id, r._change_type) for r in ch}
+    assert got == {(1, "update"), (2, "insert")}
+    assert fg.changes(v1).count() == 2
