@@ -1,0 +1,80 @@
+"""Connected components — the clustering step of large-scale dedup.
+
+Pairwise near-dup detection (MinHash/SimHash, operators/dedup.py) yields
+EDGES; deduplication needs GROUPS: transitively-connected families where
+one canonical document is kept. That grouping is connected components over
+the similarity graph.
+
+Algorithm: iterative minimum-label propagation on the undirected edge set —
+every node starts labeled with itself; each round, a node's label becomes
+the min of its own and its neighbors' labels; a fixpoint is reached in
+O(graph diameter) rounds. Dedup similarity graphs are short-diameter
+(families of near-identical docs), so a handful of rounds suffices.
+
+Scale notes:
+- Each round is one shuffled join (labels ⋈ edges) + one groupBy min —
+  ordinary Catalyst plans that partition by node id; nothing driver-side
+  except the 1-row convergence check.
+- ``localCheckpoint`` truncates lineage each round: without it, iteration
+  K's plan contains K copies of the join tree and the optimizer chokes —
+  the classic iterative-algorithm trap on Spark.
+- Convergence detection uses the monotone invariant: labels only ever
+  DECREASE, so the global sum of labels strictly decreases until the
+  fixpoint — a 1-row aggregate per round instead of a change-count join.
+- For web-scale graphs with giant components / long chains, the
+  production upgrade is the large-star/small-star algorithm (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC'14), which
+  converges in O(log² n) rounds regardless of diameter. Same API;
+  min-propagation is the right default for dedup-shaped graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """Label every node of the undirected graph with its component id
+    (the smallest node id in the component). Returns (node, component).
+
+    Nodes appear iff they touch an edge — callers union isolated items
+    back with ``component := id`` (see q84).
+    """
+    und = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    und = und.distinct().localCheckpoint()
+
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.drop("nbr_label")
+            .join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:  # monotone ⇒ equal sum ⇔ fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("component"))

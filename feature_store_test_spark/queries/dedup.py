@@ -315,3 +315,76 @@ def q66_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
         .where(F.col("shared_shingles") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q84 — dedup GROUPS, not pairs: connected components over the similarity
+# graph (edges = docs sharing a head-5-word OR tail-5-word fingerprint;
+# chains A~B~C collapse into one family even when A and C share nothing).
+# Spark runs iterative min-label propagation (operators/graph.py,
+# O(diameter) shuffled rounds, lineage-truncated); the oracle replays the
+# same fixpoint with a recursive CTE — different algorithm, same unique
+# answer, which is the point: the component labeling is engine-invariant.
+# Scale: the pair joins are fingerprint-bucketed (never all-pairs); the
+# propagation shuffles (node,label) pairs only. Canonical doc per family =
+# the component id itself (min doc_id), giving the keep/drop decision.
+# ---------------------------------------------------------------------------
+@register(
+    "q84_dedup_components",
+    oracle="""
+    WITH RECURSIVE
+    fp AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS head_fp,
+             md5(array_to_string(string_split(text, ' ')[-5:], ' ')) AS tail_fp
+      FROM documents
+    ),
+    heads AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM fp a JOIN fp b ON a.head_fp = b.head_fp AND a.doc_id < b.doc_id
+    ),
+    tails AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM fp a JOIN fp b ON a.tail_fp = b.tail_fp AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT * FROM heads UNION SELECT * FROM tails),
+    und AS (SELECT s, d FROM edges UNION SELECT d AS s, s AS d FROM edges),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, u.d FROM reach r JOIN und u ON r.dst = u.s
+    )
+    SELECT src AS doc_id, MIN(dst) AS component FROM reach
+    GROUP BY src
+    ORDER BY doc_id
+    """,
+    doc="near-dup families via connected components (head/tail fingerprint edges)",
+    tags=("dedup", "graph", "iterative"),
+)
+def q84_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.graph import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.split(F.col("text"), " ")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(words, 1, 5))).alias("head_fp"),
+        F.md5(F.concat_ws(" ", F.slice(words, -5, 5))).alias("tail_fp"),
+    )
+    edges = None
+    for col in ["head_fp", "tail_fp"]:
+        a = fp.select(F.col("doc_id").alias("s"), F.col(col).alias("f"))
+        b = fp.select(F.col("doc_id").alias("d"), F.col(col).alias("f"))
+        e = a.join(b, "f").where(F.col("s") < F.col("d")).select("s", "d")
+        edges = e if edges is None else edges.union(e)
+    edges = edges.distinct()
+    cc = connected_components(edges, "s", "d")
+    return (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .orderBy("doc_id")
+    )

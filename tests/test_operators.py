@@ -121,3 +121,30 @@ def test_salted_join_matches_plain_join_with_hot_key(spark):
         g = sorted((r.payload, r.dim) for r in got.collect())
         w = sorted((r.payload, r.dim) for r in want.collect())
         assert g == w, how
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain collapses to one component labeled by its min node;
+    a separate pair stays its own component; convergence needs multiple
+    propagation rounds (chain diameter 3)."""
+    from feature_store_test_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_q84_families_are_transitive(spark, sf_dir):
+    """Every doc gets a component; at least one family has >1 member; and
+    the component id is always the family's min doc_id."""
+    from feature_store_test_spark.registry import all_queries
+
+    rows = all_queries()["q84_dedup_components"].fn(spark, sf_dir).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r.doc_id)
+    assert any(len(v) > 1 for v in by_comp.values())
+    for comp, members in by_comp.items():
+        assert comp == min(members)
