@@ -743,3 +743,101 @@ def q83_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q85 — Python UDTF (table-valued function, SURVEY §2.11): passage chunking
+# — each document explodes into 10-word retrieval chunks. A UDTF is the
+# right seam when one input row yields a VARIABLE number of structured
+# rows from imperative logic; for this simple fixed-width case a native
+# slice/explode would also work (and is the fast path) — the query exists
+# to pin the UDTF API surface end-to-end. Scale: UDTFs run Arrow-batched
+# per partition like other Python seams; chunking is embarrassingly
+# parallel and the output is partition-local (no shuffle).
+# ---------------------------------------------------------------------------
+@register(
+    "q85_udtf_chunks",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    idx AS (
+      SELECT doc_id, words,
+             unnest(range(CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           array_to_string(words[i*10+1 : (i+1)*10], ' ') AS chunk,
+           CAST(len(words[i*10+1 : (i+1)*10]) AS INT) AS n_words
+    FROM idx
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Python UDTF exploding documents into 10-word passage chunks",
+    tags=("udtf", "text", "pipeline"),
+)
+def q85_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk string, n_words int")
+    class ChunkWords:
+        def eval(self, row):
+            words = row.text.split(" ")
+            for i in range(0, len(words), 10):
+                c = words[i : i + 10]
+                yield row.doc_id, i // 10, " ".join(c), len(c)
+
+    spark.udtf.register("q85_chunk_words", ChunkWords)
+    load_table(spark, "documents", sf_dir).select("doc_id", "text").createOrReplaceTempView(
+        "q85_docs"
+    )
+    return spark.sql(
+        "SELECT * FROM q85_chunk_words(TABLE(q85_docs)) ORDER BY doc_id, chunk_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q86 — grouped-aggregate pandas UDAF (SURVEY §2.11): per-group median via
+# np.median inside a GROUPED_AGG pandas_udf. Median is sort-based, so the
+# result is order-insensitive and bit-identical to DuckDB's
+# quantile_cont(0.5) (both average the two middle doubles). The UDAF seam
+# is for aggregates Catalyst lacks; median exists natively
+# (percentile) — the query pins the API, the test pins the equivalence.
+# Scale: grouped-agg UDAFs materialize each group in one Arrow batch —
+# fine for bounded groups (per event_type here); unbounded groups should
+# use approx sketches instead.
+# ---------------------------------------------------------------------------
+@register(
+    "q86_grouped_agg_udaf",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS median_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="grouped-agg pandas UDAF median per event type (≡ quantile_cont 0.5)",
+    tags=("udaf", "pandas_udf", "agg", "stats"),
+)
+def q86_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def np_median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    # grouped-agg UDAFs can't mix with JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides the same seam
+    @pandas_udf("long")
+    def np_count(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            np_median("value").alias("median_value"),
+            np_count("value").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
