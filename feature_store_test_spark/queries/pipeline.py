@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
+from feature_store_test_spark.functions import md5_bucket
 from feature_store_test_spark.registry import register
 
 
@@ -55,7 +56,7 @@ from feature_store_test_spark.registry import register
 )
 def q79_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    h = md5_bucket("doc_id")
     split = (
         F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
     )
@@ -113,7 +114,7 @@ def q80_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe = docs.sparkSession.createDataFrame(
         cutoffs, "source string, cutoff string"
     )
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    h = md5_bucket("doc_id")
     return (
         docs.join(F.broadcast(recipe), "source")
         .where(h < F.col("cutoff"))

@@ -14,18 +14,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
+from feature_store_test_spark.functions import dec_sum as _dec_sum
 from feature_store_test_spark.registry import register
 
-
-def _dec_sum(col: str | F.Column, scale: int = 2, out: str | None = None) -> F.Column:
-    """Exact money sum: decimal(18,s) integer arithmetic, one double cast at the end.
-
-    Bit-identical regardless of summation order (Spark partial aggregation vs
-    DuckDB single-node) — the backbone of cross-engine hash equality.
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    expr = F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
-    return expr.alias(out) if out else expr
 
 
 # ---------------------------------------------------------------------------

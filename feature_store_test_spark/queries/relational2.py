@@ -14,15 +14,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
+from feature_store_test_spark.functions import dec_sum as _dec_sum
 from feature_store_test_spark.registry import register
 
-
-def _dec_sum(col: str | F.Column, scale: int = 2, out: str | None = None) -> F.Column:
-    """Exact money sum (decimal integer arithmetic, one double cast) — see
-    relational.py; summation-order-free so Spark partial aggs match DuckDB."""
-    c = F.col(col) if isinstance(col, str) else col
-    expr = F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
-    return expr.alias(out) if out else expr
 
 
 # ---------------------------------------------------------------------------

@@ -28,20 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
+from feature_store_test_spark.functions import dec_sum as _dec_sum
+from feature_store_test_spark.functions import revenue as _revenue
 from feature_store_test_spark.registry import register
 
 
-def _dec_sum(col: str | F.Column, scale: int = 2, out: str | None = None) -> F.Column:
-    """Exact money sum (decimal integer arithmetic, one double cast)."""
-    c = F.col(col) if isinstance(col, str) else col
-    expr = F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
-    return expr.alias(out) if out else expr
-
-
-def _revenue() -> F.Column:
-    """Per-line revenue expression (lazy: building a Column requires an
-    active session, so no module-level F.col)."""
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 # ---------------------------------------------------------------------------
