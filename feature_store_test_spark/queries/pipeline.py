@@ -15,6 +15,9 @@ engines, compared lexicographically; see operators/dedup.py).
   assign each doc to a fixed-budget context bin (GPT-style packing).
 * q82 — binned range join: events joined into activity windows — the
   scale-safe interval-join pattern (operators/rangejoin.py).
+* q87 — token-budgeted sampling: per-source cap on contributed tokens,
+  filled in deterministic hash order (the "take 10B tokens of src X"
+  step of building a data mix).
 """
 
 from __future__ import annotations
@@ -236,4 +239,68 @@ def q82_activity_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("window_value"),
         )
         .orderBy("w_user", "w_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q87 — token-budgeted sampling: each source may contribute at most ~1024
+# tokens to the mix, filled in md5(doc_id) order (a deterministic shuffle —
+# same "random" order on every engine and every re-run). A document is kept
+# iff its START offset in that order is under the budget, so the selection
+# is an exact prefix of the hash-ordered stream: adding new documents can
+# displace later ones but never changes what "the first 1024 tokens" means.
+# Scale: one shuffle on source + an in-partition running sum. At 100 TB the
+# stream key becomes (source, shard = md5 prefix) with budget/n_shards per
+# shard — same window, bounded partitions, no global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "q87_token_budget_sample",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+      FROM toks
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+    FROM ranked
+    WHERE start_tok < 1024
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="token-budgeted per-source sampling in deterministic hash order",
+    tags=("pipeline", "sampling", "window", "hash"),
+)
+def q87_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n_tokens = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = toks.withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        ranked.where(F.col("start_tok") < 1024)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("source")
     )

@@ -7,7 +7,13 @@ Online store = latest-per-key view DERIVED from the history by a ranking
 window — upserts are appends of computed rows, never in-place mutation.
 """
 
+from feature_store_test_spark.store.aggview import IncrementalAggView
 from feature_store_test_spark.store.feature_group import FeatureGroup, FeatureStore
 from feature_store_test_spark.store.table import VersionedParquetTable
 
-__all__ = ["FeatureGroup", "FeatureStore", "VersionedParquetTable"]
+__all__ = [
+    "FeatureGroup",
+    "FeatureStore",
+    "IncrementalAggView",
+    "VersionedParquetTable",
+]
