@@ -252,7 +252,10 @@ class VersionedParquetTable:
 
     # -- maintenance --------------------------------------------------------
     def compact(
-        self, cluster_by: list[str] | None = None, n_files: int | None = None
+        self,
+        cluster_by: list[str] | None = None,
+        n_files: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Rewrite the current snapshot as one commit (OPTIMIZE analog).
 
@@ -272,16 +275,39 @@ class VersionedParquetTable:
         100 TB this is the difference between a point read touching one
         row group and touching every file in the table.
 
+        ``zorder_by``: Morton-interleave the columns' bits and range-cluster
+        on the resulting z-value (OPTIMIZE ZORDER BY proper — see
+        operators/zorder.py). Unlike ``cluster_by`` (lexicographic: only
+        the leading column's stats get tight), every z-ordered dimension
+        gets tight per-file min/max boxes, so predicates on ANY of them
+        prune files. Use for multi-column point/range read patterns.
+
         ``n_files``: explicit output file count (the OPTIMIZE target-file-
         size knob, expressed as a count). Without it AQE sizes the shuffle
         — right at scale, but at toy scale it coalesces everything into
         one file and there is nothing left to skip.
         """
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are mutually exclusive")
         base = self.latest_version()
         if base is None:
             raise ValueError("nothing to compact: table has no commits")
         snapshot = self.read()  # includes _commit_version
-        if cluster_by:
+        if zorder_by:
+            from feature_store_test_spark.operators.zorder import zorder_key
+
+            missing = set(zorder_by) - set(self.schema.fieldNames())
+            if missing:
+                raise ValueError(f"cluster columns not in schema: {sorted(missing)}")
+            z = zorder_key(snapshot, list(zorder_by))
+            range_args = ([n_files] if n_files else []) + ["__z"]
+            snapshot = (
+                snapshot.withColumn("__z", z)
+                .repartitionByRange(*range_args)
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif cluster_by:
             missing = set(cluster_by) - set(self.schema.fieldNames())
             if missing:
                 raise ValueError(f"cluster columns not in schema: {sorted(missing)}")
@@ -312,6 +338,7 @@ class VersionedParquetTable:
             "schema": snapshot.schema.jsonValue(),
             "partition_cols": self.partition_cols,
             "cluster_by": cluster_by or [],
+            "zorder_by": zorder_by or [],
             "files": self._collect_file_stats(data_dir, compact_schema),
         }
         fd, tmp = tempfile.mkstemp(dir=self._log_path, suffix=".tmp")

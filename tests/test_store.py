@@ -377,6 +377,58 @@ def test_clustered_compaction_tightens_pruning(spark, tmp_path):
     assert [tuple(r)[:2] for r in got] == [(123, 123 / 7.0)]
 
 
+def test_interleave_bits_is_morton_order(spark):
+    from feature_store_test_spark.operators.zorder import interleave_bits
+
+    df = spark.range(1).select(
+        interleave_bits([F.lit(0b11), F.lit(0b00)], bits=2).alias("z1"),
+        interleave_bits([F.lit(0b01), F.lit(0b11)], bits=2).alias("z2"),
+    )
+    row = df.collect()[0]
+    assert row["z1"] == 0b1010  # col0's bits land in even positions (from MSB)
+    assert row["z2"] == 0b0111
+
+
+def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
+    schema = T.StructType(
+        [T.StructField("x", T.LongType()), T.StructField("y", T.LongType())]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "zt"), schema)
+    # 100x100 grid: x and y independent; appended in hash order (no
+    # accidental clustering)
+    rows = [(j % 100, j // 100) for j in range(10_000)]
+    t.append(spark.createDataFrame(rows, schema).repartition(8))
+
+    t.compact(cluster_by=["x"], n_files=16)
+    lin_x = t.skipping_report([("x", "<=", 12)])
+    lin_y = t.skipping_report([("y", "<=", 12)])
+    assert lin_x["candidate_files"] < lin_x["total_files"]
+    # lexicographic clustering leaves every file spanning the full y range
+    assert lin_y["candidate_files"] == lin_y["total_files"]
+
+    t.compact(zorder_by=["x", "y"], n_files=16)
+    z_x = t.skipping_report([("x", "<=", 12)])
+    z_y = t.skipping_report([("y", "<=", 12)])
+    # the space-filling curve gives tight boxes on BOTH dimensions
+    assert z_x["candidate_files"] < z_x["total_files"]
+    assert z_y["candidate_files"] < z_y["total_files"]
+    assert z_y["candidate_files"] < lin_y["candidate_files"]
+
+    # physical order changed, logical contents did not
+    got = t.read().drop("_commit_version")
+    assert got.count() == 10_000
+    assert got.distinct().count() == 10_000
+    assert t.read(where=[("x", "=", 3), ("y", "=", 7)]).drop(
+        "_commit_version"
+    ).collect() == [(3, 7)]
+
+
+def test_zorder_rejects_combined_cluster_args(spark, tmp_path):
+    t = _kv_table(spark, tmp_path, n=100, commits=1)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.compact(cluster_by=["k"], zorder_by=["k"])
+
+
 def test_skipping_report_counts_all_files_without_where_effect(spark, tmp_path):
     t = _kv_table(spark, tmp_path, n=200, commits=2)
     rep = t.skipping_report([("k", ">=", 0)])
