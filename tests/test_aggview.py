@@ -101,6 +101,46 @@ def test_refresh_after_vacuum_falls_back_to_full_recompute(spark, tmp_path):
     assert as_sorted_rows(view.read()) == as_sorted_rows(recompute(t))
 
 
+def test_streaming_maintained_view_converges(spark, sf_dir, tmp_path):
+    """Structured Streaming maintenance: each micro-batch is committed to
+    the table and folded into the view inside foreachBatch — the streaming
+    materialized-view pattern. Whatever the batch boundaries, the final
+    state equals a batch recompute over everything ingested."""
+    from feature_store_test_spark.data import load_table
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id") < 20)
+        .select(F.col("user_id").alias("k"), F.col("value").alias("v"))
+    )
+    src = tmp_path / "src"
+    # three files -> three micro-batches with maxFilesPerTrigger=1
+    a, b, c = ev.randomSplit([0.4, 0.3, 0.3], seed=7)
+    for part in (a, b, c):
+        part.coalesce(1).write.mode("append").parquet(str(src))
+
+    t, view = make(spark, tmp_path)
+
+    def fold(batch_df, batch_id):
+        t.append(batch_df)
+        view.refresh()
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert t.latest_version() >= 2  # really was multiple commits
+    assert view.applied_version == t.latest_version()
+    assert as_sorted_rows(view.read()) == as_sorted_rows(recompute(t))
+
+
 def test_rejects_unknown_columns(spark, tmp_path):
     t = VersionedParquetTable(spark, str(tmp_path / "t"), SCHEMA)
     with pytest.raises(ValueError, match="not in table schema"):
