@@ -94,3 +94,93 @@ def decode_media(
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(gen, FRAME_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    fake: bool = False,
+) -> DataFrame:
+    """Media → fixed-length feature vector (``array<float>``), the
+    embed-for-retrieval step. Real deployments plug a vision/audio encoder
+    into the batch function; ``fake=False`` raises NotImplementedError
+    (STUB — clearly marked), ``fake=True`` computes a deterministic fake
+    embedding: the normalized histogram of ``byte % dim`` — a pure function
+    of the bytes, so the output feeds the ANN operators
+    (operators/similarity.py) and is oracle-checkable.
+
+    Plumbing under test either way: Arrow-batched pandas transport of
+    binary in / float-array out, vectorized numpy inside the batch.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media encoders are not available in this environment; "
+            "pass fake=True for the deterministic stub encoder"
+        )
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for blob in pdf[blob_col]:
+                data = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if data.size == 0:
+                    embs.append([0.0] * dim)
+                    continue
+                hist = np.bincount(data % dim, minlength=dim).astype("float64")
+                embs.append((hist / data.size).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": embs})
+
+    return df.select(id_col, blob_col).mapInPandas(gen, out_schema)
+
+
+def resize_media(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    target_bytes: int = 1024,
+    fake: bool = False,
+) -> DataFrame:
+    """Downsample a blob to ≤ ``target_bytes`` (the thumbnail/resample
+    step). ``fake=True`` runs the deterministic stub: keep every
+    ceil(n/target)-th byte (stride sampling — pure function of the bytes);
+    ``fake=False`` raises NotImplementedError (STUB — real codecs resample
+    pixels/samples, not bytes). Output keeps the id, the resized blob, and
+    its new byte length.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "pass fake=True for the deterministic stub resizer"
+        )
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("resized_bytes", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, sizes = [], []
+            for blob in pdf[blob_col]:
+                data = bytes(blob)
+                stride = max(1, -(-len(data) // target_bytes))  # ceil div
+                small = data[::stride]
+                blobs.append(small)
+                sizes.append(len(small))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "resized": blobs, "resized_bytes": sizes}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(gen, out_schema)

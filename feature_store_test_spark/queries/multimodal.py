@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
-from feature_store_test_spark.operators.multimodal import blob_meta, decode_media
+from feature_store_test_spark.operators.multimodal import (
+    blob_meta,
+    decode_media,
+    extract_features,
+)
 from feature_store_test_spark.registry import register
 
 
@@ -74,3 +78,56 @@ def q31_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q32_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs_with_blob(spark, sf_dir)
     return decode_media(df, blob_col="blob", id_col="doc_id", frame_size=256, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Q88 — media feature extraction: blob → fixed-length embedding through the
+# stub encoder (normalized byte-histogram, a pure function of the bytes),
+# then a JVM-side fold over the returned array (norm + dominant bin). The
+# plumbing under test is the binary-in / float-array-out Arrow path — the
+# same shape a real vision encoder would use, feeding the ANN operators.
+# l2 rounds at 6 dp (sqrt output is non-terminating); top_bin ties resolve
+# to the smallest bin on both engines (first array occurrence / ORDER BY b).
+# ---------------------------------------------------------------------------
+@register(
+    "q88_media_features",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id, (ascii(substr(text, CAST(i AS INT), 1)) % 16) AS b
+      FROM documents, unnest(generate_series(1, length(text))) AS g(i)
+    ),
+    hist AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM bytes GROUP BY doc_id, b
+    ),
+    norms AS (
+      SELECT h.doc_id,
+             round(sqrt(SUM(POW(CAST(h.c AS DOUBLE) / length(d.text), 2))), 6) AS l2norm
+      FROM hist h JOIN documents d USING (doc_id)
+      GROUP BY h.doc_id
+    ),
+    tops AS (
+      SELECT doc_id, CAST(b AS INT) AS top_bin,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS rk
+      FROM hist
+    )
+    SELECT n.doc_id, n.l2norm, t.top_bin
+    FROM norms n JOIN tops t ON n.doc_id = t.doc_id AND t.rk = 1
+    ORDER BY n.doc_id
+    """,
+    doc="stub media encoder: blob -> byte-histogram embedding -> norm + top bin",
+    tags=("multimodal", "udf", "embedding"),
+)
+def q88_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_with_blob(spark, sf_dir)
+    emb = extract_features(df, blob_col="blob", id_col="doc_id", dim=16, fake=True)
+    sq = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    top_bin = (
+        F.array_position(F.col("embedding"), F.array_max("embedding")) - 1
+    ).cast("int")
+    return emb.select(
+        "doc_id",
+        F.round(F.sqrt(sq), 6).alias("l2norm"),
+        top_bin.alias("top_bin"),
+    ).orderBy("doc_id")

@@ -6,7 +6,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
-from feature_store_test_spark.operators.multimodal import blob_meta, decode_media
+from feature_store_test_spark.operators.multimodal import (
+    blob_meta,
+    decode_media,
+    extract_features,
+    resize_media,
+)
 
 
 def docs_with_blob(spark, sf_dir):
@@ -37,6 +42,36 @@ def test_fake_codec_frame_fanout(spark, sf_dir):
         | (F.col("n_frames") != F.ceil(F.col("n_bytes") / 256.0))
     )
     assert bad.count() == 0  # frames tile the blob exactly
+
+
+def test_extract_features_shape_and_normalization(spark, sf_dir):
+    df = docs_with_blob(spark, sf_dir)
+    with pytest.raises(NotImplementedError, match="encoder"):
+        extract_features(df, fake=False)
+    emb = extract_features(df, dim=16, fake=True)
+    rows = emb.limit(5).collect()
+    for r in rows:
+        assert len(r.embedding) == 16
+        assert sum(r.embedding) == pytest.approx(1.0)  # normalized histogram
+        assert all(v >= 0.0 for v in r.embedding)
+    # deterministic: same bytes -> same embedding
+    again = {r.doc_id: r.embedding for r in emb.limit(5).collect()}
+    assert {r.doc_id: r.embedding for r in rows} == again
+
+
+def test_resize_media_bounds_and_determinism(spark, sf_dir):
+    df = docs_with_blob(spark, sf_dir)
+    with pytest.raises(NotImplementedError, match="codec"):
+        resize_media(df, fake=False)
+    out = resize_media(df, target_bytes=100, fake=True).join(
+        df.select("doc_id", F.octet_length("blob").alias("n_bytes")), "doc_id"
+    )
+    bad = out.where(
+        (F.col("resized_bytes") > 100)
+        | (F.col("resized_bytes") != F.octet_length("resized"))
+        | ((F.col("n_bytes") >= 100) & (F.col("resized_bytes") < 50))
+    )
+    assert bad.count() == 0
 
 
 def test_blob_meta_is_jvm_side(spark, sf_dir):
