@@ -34,6 +34,9 @@ HEADLINE = [
     "q78_lonely_late_supplier",  # EXISTS + NOT EXISTS self-joins (TPC-H Q21 shape)
     "q81_sequence_packing",      # running-sum context packing
     "q82_activity_window_join",  # binned interval join
+    "q87_token_budget_sample",   # hash-ordered token-budget sampling
+    "q88_media_features",        # stub media encoder (Arrow binary->array path)
+    "q89_funnel_stages",         # sequence-pattern funnel analytics
 ]
 
 

@@ -841,3 +841,81 @@ def q86_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q89 — funnel / sequence-pattern analytics (the MATCH_RECOGNIZE class):
+# within each user's first two hours of activity, the deepest ordered
+# funnel stage reached (view → later click → later purchase), detected by
+# a regex over the time-ordered event-type sequence. collect_list is
+# bounded here by the per-user time-window filter — the documented
+# precondition for sequence ops at 100 TB (never collect an unbounded
+# history; sessionize or window first). One shuffle: the first-event
+# window and the sequence groupBy share the user_id partitioning.
+# ---------------------------------------------------------------------------
+@register(
+    "q89_funnel_stages",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+    ),
+    seqs AS (
+      SELECT e.user_id,
+             string_agg(CASE e.event_type WHEN 'view' THEN 'v'
+                        WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                        ELSE 'x' END, '' ORDER BY e.ts, e.event_id) AS seq
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.ts <= f.t0 + INTERVAL 2 HOUR
+      GROUP BY e.user_id
+    ),
+    staged AS (
+      SELECT user_id,
+             CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 3
+                  WHEN regexp_matches(seq, 'v.*c') THEN 2
+                  WHEN regexp_matches(seq, 'v') THEN 1
+                  ELSE 0 END AS deepest_stage
+      FROM seqs
+    )
+    SELECT deepest_stage, COUNT(*) AS n_users
+    FROM staged GROUP BY deepest_stage ORDER BY deepest_stage
+    """,
+    doc="funnel conversion depth via regex over time-ordered event sequences",
+    tags=("sequence", "window", "funnel", "regexp"),
+)
+def q89_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    t0 = F.min("ts").over(Window.partitionBy("user_id"))
+    initial = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("x")
+    )
+    windowed = ev.withColumn("t0", t0).where(
+        F.col("ts") <= F.col("t0") + F.expr("INTERVAL 2 HOURS")
+    )
+    seqs = (
+        windowed.select("user_id", "ts", "event_id", initial.alias("i"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "i"))),
+                    lambda s: s["i"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    deepest = (
+        F.when(F.col("seq").rlike("v.*c.*p"), 3)
+        .when(F.col("seq").rlike("v.*c"), 2)
+        .when(F.col("seq").rlike("v"), 1)
+        .otherwise(0)
+    )
+    return (
+        seqs.select(deepest.alias("deepest_stage"))
+        .groupBy("deepest_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("deepest_stage")
+    )
