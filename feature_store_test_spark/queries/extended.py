@@ -919,3 +919,34 @@ def q89_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("deepest_stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q90 — mergeable quantile sketch: percentile_approx (Greenwald-Khanna) per
+# group. This is the 100 TB path q49's exact percentile cannot take — exact
+# percentile materializes each group's values; the GK sketch is bounded
+# state merged associatively across partitions (same contract as HLL in
+# q37). Rows-only: sketch internals are engine-specific, so the gate is an
+# error-bound equivalence test against the exact form (tests/test_operators).
+# ---------------------------------------------------------------------------
+@register(
+    "q90_approx_quantiles",
+    oracle=None,
+    doc="Greenwald-Khanna approx percentiles per segment (mergeable sketch path)",
+    tags=("sketch", "agg", "quantile"),
+)
+def q90_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    qs = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10_000
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            qs.getItem(0).alias("p50"),
+            qs.getItem(1).alias("p90"),
+            qs.getItem(2).alias("p99"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from feature_store_test_spark.operators.asof import asof_join
@@ -148,3 +149,30 @@ def test_q84_families_are_transitive(spark, sf_dir):
     assert any(len(v) > 1 for v in by_comp.values())
     for comp, members in by_comp.items():
         assert comp == min(members)
+
+
+def test_approx_quantiles_within_sketch_error_bound(spark, sf_dir):
+    """q90's GK sketch (accuracy=10000 -> rank error <= n/10000) must land
+    within a conservative value-relative bound of the exact percentile."""
+    from pyspark.sql import functions as F
+
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.queries.extended import q90_approx_quantiles
+
+    approx = {r.l_returnflag: r for r in q90_approx_quantiles(spark, sf_dir).collect()}
+    exact = {
+        r.l_returnflag: r
+        for r in load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        for q in ("p50", "p90", "p99"):
+            assert getattr(a, q) == pytest.approx(getattr(e, q), rel=0.05), (flag, q)

@@ -55,6 +55,31 @@ def test_udf_queries_do_use_arrow_python(spark, sf_dir):
     assert "MapInPandas" in plan_of(spark, sf_dir, "q32_frame_sample")
 
 
+def test_q87_window_and_report_agg_share_one_exchange(spark, sf_dir):
+    """Token-budget sampling: the running-sum window partitions by source
+    and the report agg groups by source — the plan must reuse that
+    partitioning (exactly one Exchange), not shuffle twice."""
+    plan = plan_of(spark, sf_dir, "q87_token_budget_sample")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # final orderBy adds a rangepartitioning exchange; count only hash ones
+    assert body.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q89_funnel_stays_jvm_side(spark, sf_dir):
+    """Sequence assembly (array_sort + transform over collect_list) must be
+    JVM expressions, never Python."""
+    plan = plan_of(spark, sf_dir, "q89_funnel_stages")
+    assert "Python" not in plan
+
+
+def test_q88_is_single_python_stage(spark, sf_dir):
+    """The stub encoder is ONE MapInPandas stage; the norm/argmax fold over
+    its output array runs JVM-side."""
+    plan = plan_of(spark, sf_dir, "q88_media_features")
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
 def test_q03_topk_avoids_global_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q03_topk_orders")
     assert "TakeOrderedAndProject" in plan
