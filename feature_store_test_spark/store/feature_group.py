@@ -251,6 +251,71 @@ class FeatureGroup:
         new_rows = joined.select(*out_cols).select(*self.schema.fieldNames())
         return self.ingest(new_rows)
 
+    def merge(
+        self,
+        source: DataFrame,
+        when_matched: dict[str, F.Column] | None = None,
+        when_not_matched: dict[str, F.Column] | None = None,
+    ) -> int | None:
+        """General ``MERGE INTO`` (Delta parity), realized append-only.
+
+        ``source`` must carry the key column and one row per key. Update /
+        insert clauses are dicts {target_column -> Column expression};
+        expressions may reference the target's current latest state as
+        ``t.<col>`` and the source as ``s.<col>``:
+
+        - ``when_matched``: applied where the key exists; unspecified
+          feature columns carry the stored value through. ``None`` means
+          WHEN MATCHED is absent — matched source rows change nothing.
+        - ``when_not_matched``: applied where the key is new; unspecified
+          columns default to the source column of the same name, else
+          NULL. ``None`` means inserts are skipped.
+
+        Like ``upsert`` (the specialized (old+new)/2 form), this writes
+        ONLY the new version rows — the online view derives the result;
+        no table rewrite, and the full history stays queryable. DELETE is
+        deliberately absent: an append-only history cannot un-happen a
+        version (Delta implements it as a rewrite); retention is vacuum's
+        job and key retirement is a modeling concern (tombstone column).
+
+        Returns the committed version, or None if nothing changed.
+        """
+        dup = (
+            source.groupBy(self.key_col).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError("merge requires one source row per key")
+        t = self.online_view().alias("t")
+        s = source.alias("s")
+        joined = s.join(t, on=self.key_col, how="left")
+        matched = F.col(f"t.{self.event_time_col}").isNotNull()
+        if when_matched is None:
+            joined = joined.where(~matched)
+        if when_not_matched is None:
+            joined = joined.where(matched)
+
+        out_cols = []
+        for f in self.schema.fields:
+            c = f.name
+            if c == self.key_col:
+                out_cols.append(F.col(f"s.{self.key_col}").alias(c))
+                continue
+            m_expr = (when_matched or {}).get(c)
+            if m_expr is None:
+                m_expr = F.col(f"t.{c}")
+            i_expr = (when_not_matched or {}).get(c)
+            if i_expr is None:
+                i_expr = (
+                    F.col(f"s.{c}")
+                    if c in source.columns
+                    else F.lit(None).cast(f.dataType)
+                )
+            out_cols.append(F.when(matched, m_expr).otherwise(i_expr).alias(c))
+        new_rows = joined.select(*out_cols)
+        if new_rows.limit(1).count() == 0:
+            return None
+        return self.ingest(new_rows)
+
 
 class FeatureStore:
     """Feature-group registry (replaces the reference's hardcoded name

@@ -551,3 +551,122 @@ def test_feature_group_change_feed_classifies_insert_vs_update(spark, tmp_path):
     got = {(r.customer_id, r._change_type) for r in ch}
     assert got == {(1, "update"), (2, "insert")}
     assert fg.changes(v1).count() == 2
+
+
+def test_merge_general_clauses(spark, tmp_path):
+    """General MERGE: declarative t./s. expressions, carry-through of
+    unspecified columns, insert defaults, and clause omission."""
+    fg = make_fg(spark, tmp_path)
+    fg.ingest(
+        spark.createDataFrame(
+            [row(1, 1, 10.0, 10.0, 5.0, 5.0), row(2, 1, 20.0, 20.0, 6.0, 6.0)],
+            FG_SCHEMA,
+        )
+    )
+    src = spark.createDataFrame(
+        [(1, ts(2), 100.0), (3, ts(2), 7.0)],
+        "customer_id long, purchase_timestamp timestamp, purchase_value double",
+    )
+    v = fg.merge(
+        src,
+        when_matched={
+            "purchase_timestamp": F.col("s.purchase_timestamp"),
+            "latest_purchase_value": F.col("s.purchase_value"),
+            "avg_purchase_value": (
+                F.col("t.avg_purchase_value") + F.col("s.purchase_value")
+            ) / 2.0,
+        },
+        when_not_matched={
+            "purchase_timestamp": F.col("s.purchase_timestamp"),
+            "latest_purchase_value": F.col("s.purchase_value"),
+            "avg_purchase_value": F.col("s.purchase_value"),
+            "avg_loyalty_score": F.lit(0.0),
+            "latest_loyalty_score": F.lit(0.0),
+        },
+    )
+    assert v is not None
+    state = {r.customer_id: r for r in fg.online_view().collect()}
+    assert state[1].latest_purchase_value == 100.0
+    assert state[1].avg_purchase_value == pytest.approx((10.0 + 100.0) / 2)
+    assert state[1].avg_loyalty_score == 5.0  # carried through, not clobbered
+    assert state[2].latest_purchase_value == 20.0  # untouched key unchanged
+    assert state[3].avg_purchase_value == 7.0  # inserted with defaults
+    assert state[3].avg_loyalty_score == 0.0
+
+
+def test_merge_update_only_and_insert_only(spark, tmp_path):
+    fg = make_fg(spark, tmp_path)
+    fg.ingest(spark.createDataFrame([row(1, 1, 10.0, 10.0, 5.0, 5.0)], FG_SCHEMA))
+    src = spark.createDataFrame(
+        [(1, ts(2), 99.0), (9, ts(2), 1.0)],
+        "customer_id long, purchase_timestamp timestamp, purchase_value double",
+    )
+    # WHEN MATCHED only: key 9 must NOT appear
+    fg.merge(
+        src,
+        when_matched={
+            "purchase_timestamp": F.col("s.purchase_timestamp"),
+            "latest_purchase_value": F.col("s.purchase_value"),
+        },
+    )
+    keys = {r.customer_id for r in fg.online_view().collect()}
+    assert keys == {1}
+    # WHEN NOT MATCHED only: key 1 must stay at 99, key 9 inserted
+    fg.merge(
+        src,
+        when_not_matched={
+            "purchase_timestamp": F.col("s.purchase_timestamp"),
+            "latest_purchase_value": F.col("s.purchase_value"),
+        },
+    )
+    state = {r.customer_id: r for r in fg.online_view().collect()}
+    assert set(state) == {1, 9}
+    assert state[1].latest_purchase_value == 99.0
+    assert state[9].latest_purchase_value == 1.0
+    assert state[9].avg_purchase_value is None  # no default supplied
+
+
+def test_merge_matches_upsert_rule(spark, tmp_path):
+    """The specialized upsert is expressible through the general merge —
+    same (old+new)/2 state either way."""
+    fg_a = make_fg(spark, tmp_path / "a")
+    fg_b = make_fg(spark, tmp_path / "b")
+    seed = spark.createDataFrame([row(1, 1, 10.0, 10.0, 5.0, 5.0)], FG_SCHEMA)
+    fg_a.ingest(seed)
+    fg_b.ingest(seed)
+    src = spark.createDataFrame(
+        [(1, ts(3), 30.0)],
+        "customer_id long, purchase_timestamp timestamp, purchase_value double",
+    )
+    fg_a.upsert(src, {"purchase_value": "purchase_value"})
+    fg_b.merge(
+        src,
+        when_matched={
+            "purchase_timestamp": F.col("s.purchase_timestamp"),
+            "latest_purchase_value": F.col("s.purchase_value"),
+            "avg_purchase_value": (
+                F.col("t.avg_purchase_value") + F.col("s.purchase_value")
+            ) / 2.0,
+        },
+        when_not_matched={
+            "purchase_timestamp": F.col("s.purchase_timestamp"),
+            "latest_purchase_value": F.col("s.purchase_value"),
+            "avg_purchase_value": F.col("s.purchase_value"),
+        },
+    )
+    a = fg_a.online_view().collect()[0]
+    b = fg_b.online_view().collect()[0]
+    assert (a.latest_purchase_value, a.avg_purchase_value) == (
+        b.latest_purchase_value,
+        b.avg_purchase_value,
+    )
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    fg = make_fg(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, ts(1), 1.0), (1, ts(2), 2.0)],
+        "customer_id long, purchase_timestamp timestamp, purchase_value double",
+    )
+    with pytest.raises(ValueError, match="one source row per key"):
+        fg.merge(src, when_matched={})
