@@ -304,3 +304,105 @@ def ivf_train(
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     return corpus.sparkSession.createDataFrame(rows, "cid int, cv array<double>")
+
+
+# ---------------------------------------------------------------------------
+# PCA-compressed ANN (dimensionality reduction before search)
+# ---------------------------------------------------------------------------
+def pca_train(
+    corpus: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> list[list[float]]:
+    """Fit a k-component PCA on the corpus; returns the k×dim projection
+    matrix as plain lists (tiny — rides into plans as literals, the same
+    broadcast discipline as IVF centroids).
+
+    Scale: the fit is one distributed covariance pass (pyspark.ml); the
+    projection afterwards is a per-row JVM expression. Like ivf_train this
+    is a training step, not a SQL expression — consumers are rows-only
+    checked with recall bounds.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    fit_df = corpus.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__features")
+    )
+    model = PCA(k=k, inputCol="__features", outputCol="__p").fit(fit_df)
+    pc = model.pc.toArray()  # dim × k, column-major components
+    return [[float(pc[i][j]) for i in range(pc.shape[0])] for j in range(pc.shape[1])]
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pvec",
+) -> DataFrame:
+    """Project ``vec_col`` onto the PCA components — pure JVM fold
+    (zip_with + aggregate per output dimension), no Python per row."""
+    dims = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(c) for c in comp]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for comp in components
+    ]
+    return df.withColumn(out_col, F.array(*dims))
+
+
+def pca_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    components: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_candidates: int = 25,
+    round_dp: int = 6,
+) -> DataFrame:
+    """ANN via compress-then-rescore: candidate top-``n_candidates`` in the
+    PCA space (cheap — k-dim dot products instead of dim-dim), then exact
+    full-space cosine rescoring of only those candidates. Same output
+    schema as ``cosine_topk``; recall depends on how much variance the
+    components capture (tested, not assumed).
+
+    Scale: the compressed pass cuts per-pair score cost by dim/k; compose
+    with LSH/IVF cell restriction to also cut the candidate count. The
+    rescore join touches O(queries × n_candidates) rows only.
+    """
+    pc = pca_project(corpus, components, vec_col)
+    pq = pca_project(queries, components, vec_col)
+    cands = cosine_topk(
+        pc.select(id_col, F.col("pvec").alias(vec_col)),
+        pq.select(id_col, F.col("pvec").alias(vec_col)),
+        id_col=id_col,
+        vec_col=vec_col,
+        k=n_candidates,
+        round_dp=round_dp,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    rescored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("__qv", "__cv"), round_dp).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -217,3 +217,25 @@ def q68_ivf_trained_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_probe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q91 — PCA-compressed ANN: candidate search in a 24-dim PCA space (2.7x
+# cheaper per pair than the 64-dim original), exact full-space rescore of
+# the candidates. A training step feeds it (pyspark.ml PCA), so it is
+# rows-only checked; the recall bound vs exact brute force is asserted in
+# tests/test_similarity.py (recall@5 >= 0.8 on the fixture).
+# ---------------------------------------------------------------------------
+@register(
+    "q91_pca_ann_topk",
+    oracle=None,
+    doc="PCA(24)-compressed candidate search + exact rescore top-5",
+    tags=("similarity", "ann", "pca", "ml"),
+)
+def q91_pca_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.similarity import pca_ann_topk, pca_train
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    comp = pca_train(emb, k=24)
+    return pca_ann_topk(emb, queries, comp, k=5, n_candidates=50)

@@ -149,3 +149,43 @@ def test_ivf_trained_centroids_recall(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
     e = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
     assert len(a & e) / len(e) >= 0.4
+
+
+def test_pca_ann_recall_beats_floor(spark):
+    """PCA(24/64) + 50-candidate rescore must recover >=80% of the exact
+    top-5 on the sf0.01 fixture — and be far above the random-candidate
+    floor (50/500 = 10%)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.operators.similarity import (
+        cosine_topk,
+        pca_ann_topk,
+        pca_train,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    comp = pca_train(emb, k=24)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pca_ann_topk(emb, queries, comp, k=5, n_candidates=50).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_pca_projection_is_jvm_side(spark):
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.operators.similarity import pca_project, pca_train
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    comp = pca_train(emb, k=4)
+    plan = (
+        pca_project(emb, comp)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
