@@ -11,9 +11,11 @@ Modules:
     multimodal      binary media columns + stub codec plumbing (north-star)
     extended        pandas UDFs, event-time windows, cube, approx aggs, LSH ANN
     pipeline        training-data pipeline: hash splits, source mixing, packing, range join
+    analytics       event analytics: gap-filled resample, new-vs-returning, cohort retention
 """
 
 from feature_store_test_spark.queries import (  # noqa: F401
+    analytics,
     dedup,
     extended,
     feature_parity,

@@ -1,0 +1,181 @@
+"""Event / product analytics: the OLAP shapes a feature-store's event log
+feeds in practice — time-series resampling with gap fill, new-vs-returning
+decomposition, and cohort retention. All pure relational plans (no UDFs):
+one or two shuffles each, everything JVM-side, oracle-checked.
+
+* q92 — daily resample with zero-filled gaps (sequence + explode: the
+  scale-safe gap fill — each user generates only its own date range).
+* q93 — daily new vs returning users with a running cumulative (first-touch
+  attribution via a per-user min, then a day-ordered frame window).
+* q94 — weekly cohort retention triangle (cohort = first ISO week; offset
+  in whole weeks; distinct users per cell).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feature_store_test_spark.data import load_table
+from feature_store_test_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Q92 — gap-filled daily resample: users emit one row per calendar day
+# between their first and last event, zero where no events occurred.
+# Scale: the date scaffold is generated per user (sequence over that
+# user's own span — no global calendar cross-join), then one left join on
+# (user, day). Both sides are partitioned by user_id; decimal sums keep
+# the daily totals exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q92_daily_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value,
+             COUNT(*) AS n_events
+      FROM events WHERE user_id < 10
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    scaffold AS (
+      SELECT user_id, d0 + CAST(i AS INT) AS day
+      FROM spans, unnest(generate_series(0, d1 - d0)) AS g(i)
+    )
+    SELECT s.user_id, s.day,
+           COALESCE(d.day_value, 0.0) AS day_value,
+           COALESCE(d.n_events, 0) AS n_events
+    FROM scaffold s LEFT JOIN daily d
+      ON d.user_id = s.user_id AND d.day = s.day
+    ORDER BY s.user_id, s.day
+    """,
+    doc="per-user daily resample with zero-filled calendar gaps",
+    tags=("analytics", "timeseries", "gapfill", "join"),
+)
+def q92_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") < 10)
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("day_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    scaffold = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.datediff("d1", "d0")),
+                    lambda i: F.date_add(F.col("d0"), i),
+                )
+            ).alias("day"),
+        )
+    )
+    return (
+        scaffold.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q93 — new vs returning: per day, active users, first-touch new users, and
+# the running cumulative of distinct users ever seen. "New" is a per-user
+# MIN (one shuffle on user), the cumulative is a day-ordered frame window
+# over the small daily series — never a distinct-over-window on raw events.
+# ---------------------------------------------------------------------------
+@register(
+    "q93_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS n_active
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    news AS (
+      SELECT first_day AS day, COUNT(*) AS n_new FROM firsts GROUP BY first_day
+    )
+    SELECT a.day, a.n_active,
+           COALESCE(n.n_new, 0) AS n_new,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY a.day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM active a LEFT JOIN news n ON a.day = n.day
+    ORDER BY a.day
+    """,
+    doc="daily active / first-touch new / cumulative distinct users",
+    tags=("analytics", "window", "attribution"),
+)
+def q93_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    day = F.col("ts").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    active = ev.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        active.join(news, "day", "left")
+        .select("day", "n_active", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q94 — weekly cohort retention triangle: cohort = the user's first ISO
+# week; each (cohort, week-offset) cell counts the cohort's users active
+# that many whole weeks later. Two shuffles (per-user min; cell distinct) —
+# the classic retention query, with the broadcastable per-user cohort map.
+# Both engines truncate weeks to ISO Monday, so cells align exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "q94_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, MIN(date_trunc('week', CAST(ts AS DATE))) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+           CAST((date_trunc('week', CAST(e.ts AS DATE)) - c.cohort_week) // 7 AS INT)
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="weekly cohort retention: first-week cohorts x whole-week offsets",
+    tags=("analytics", "retention", "agg", "join"),
+)
+def q94_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    week = F.date_trunc("week", F.col("ts").cast("date")).cast("date")
+    cohorts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    return (
+        ev.select("user_id", week.alias("event_week"))
+        .join(F.broadcast(cohorts), "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("event_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
