@@ -304,3 +304,62 @@ def q87_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q95 — deterministic source UPSAMPLING (rate > 1): the other half of the
+# data recipe q80 downsamples. rate = 2.25 means every doc appears twice
+# and a hash-chosen 25% of docs appear a third time — explode over a
+# per-row copy count, no RNG, so epochs are byte-identical across re-runs
+# and engines. Scale: map-side explode (no shuffle before the report agg);
+# the output multiplier is exactly the recipe's expected token multiplier.
+# ---------------------------------------------------------------------------
+@register(
+    "q95_source_upsampling",
+    oracle="""
+    WITH recipe AS (
+      SELECT * FROM (VALUES
+        ('src0', 3, 'ff'), ('src1', 2, '40'), ('src2', 2, '00'),
+        ('src3', 1, '80'), ('src4', 1, '00')
+      ) AS t(source, n_full, frac_cutoff)
+    ),
+    copies AS (
+      SELECT d.source, d.n_chars,
+             n_full + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+                                < frac_cutoff THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN recipe r ON d.source = r.source
+    )
+    SELECT source,
+           CAST(SUM(n_copies) AS BIGINT) AS n_rows_out,
+           CAST(SUM(n_copies * n_chars) AS BIGINT) AS chars_out
+    FROM copies
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="deterministic hash-fractional source upsampling (epoch replication)",
+    tags=("pipeline", "sampling", "hash", "explode"),
+)
+def q95_source_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    recipe = docs.sparkSession.createDataFrame(
+        [
+            ("src0", 3, "ff"), ("src1", 2, "40"), ("src2", 2, "00"),
+            ("src3", 1, "80"), ("src4", 1, "00"),
+        ],
+        "source string, n_full int, frac_cutoff string",
+    )
+    n_copies = F.col("n_full") + F.when(
+        md5_bucket("doc_id") < F.col("frac_cutoff"), 1
+    ).otherwise(0)
+    exploded = (
+        docs.join(F.broadcast(recipe), "source")
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), n_copies)))
+    )
+    return (
+        exploded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows_out"),
+            F.sum("n_chars").cast("bigint").alias("chars_out"),
+        )
+        .orderBy("source")
+    )
