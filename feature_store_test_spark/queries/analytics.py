@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
+from feature_store_test_spark.functions import dec_sum
 from feature_store_test_spark.registry import register
 
 
@@ -178,4 +179,108 @@ def q94_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q96 — heavy hitters: users holding >= 0.5% of all events. Exact version
+# of the frequent-items problem (the approximate path at 100 TB is a
+# count-min / space-saving sketch; df.stat.freqItems gives the superset
+# guarantee — tests/test_operators.py asserts it contains this exact set).
+# Scale: one map-side-combinable count per user; the grand total is a
+# single scalar crossed in via broadcast — no second shuffle. The
+# threshold compare stays in integer arithmetic (n*200 >= total) so both
+# engines agree bit-for-bit with no ratio rounding.
+# ---------------------------------------------------------------------------
+@register(
+    "q96_heavy_hitters",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ), tot AS (SELECT SUM(n_events) AS total FROM counts)
+    SELECT user_id, n_events
+    FROM counts, tot
+    WHERE n_events * 200 >= total
+    ORDER BY n_events DESC, user_id
+    """,
+    doc="exact frequent-items: users with >= 0.5% share of all events",
+    tags=("analytics", "agg", "heavy-hitters"),
+)
+def q96_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = counts.agg(F.sum("n_events").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .where(F.col("n_events") * 200 >= F.col("total"))
+        .select("user_id", "n_events")
+        .orderBy(F.col("n_events").desc(), "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q97 — equi-width histogram of order totals: fixed $25k bins over
+# o_totalprice. The bin id is pure integer math on the decimal price
+# (floor division — no float, no boundary ambiguity), so the whole plan is
+# one map-side-combinable aggregate that scales linearly; no global sort,
+# no window. This is the scan-friendly histogram shape (vs ntile, which
+# needs a global ordering) — the one you'd run on 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "q97_price_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) / 25000) AS INT) AS bin,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_total
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="equi-width $25k histogram of order totals (integer bin math)",
+    tags=("analytics", "agg", "histogram"),
+)
+def q97_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.groupBy(F.floor(price / 25000).cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", out="bin_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q98 — modal event type per user (the per-group mode). Two-level
+# aggregate: count per (user, type), then keep the row ranked first by
+# (count desc, type asc) — the deterministic tie-break both engines share.
+# Scale: both steps shuffle on user_id (co-partitioned, AQE coalesces);
+# the ranking window runs inside each user's partition, never globally.
+# DuckDB's arg_max breaks ties arbitrarily, so BOTH sides use the
+# row_number form (memory: no struct-ordered max_by in DuckDB 1.0).
+# ---------------------------------------------------------------------------
+@register(
+    "q98_modal_event_type",
+    oracle="""
+    SELECT user_id, event_type AS modal_type, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type
+    ) = 1
+    ORDER BY user_id
+    """,
+    doc="per-group mode: most frequent event_type per user, deterministic ties",
+    tags=("analytics", "agg", "window", "mode"),
+)
+def q98_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+        .orderBy("user_id")
     )

@@ -176,3 +176,16 @@ def test_approx_quantiles_within_sketch_error_bound(spark, sf_dir):
         e = exact[flag]
         for q in ("p50", "p90", "p99"):
             assert getattr(a, q) == pytest.approx(getattr(e, q), rel=0.05), (flag, q)
+
+
+def test_freq_items_superset_of_exact_heavy_hitters(spark, sf_dir):
+    """df.stat.freqItems(support=s) guarantees a SUPERSET of items with
+    true frequency >= s (Karp et al. streaming algorithm — the 100 TB path
+    for q96; the exact query is the verifier)."""
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.queries.analytics import q96_heavy_hitters
+
+    exact = {r.user_id for r in q96_heavy_hitters(spark, sf_dir).collect()}
+    ev = load_table(spark, "events", sf_dir)
+    approx = set(ev.stat.freqItems(["user_id"], support=0.005).collect()[0][0])
+    assert exact <= approx

@@ -95,3 +95,31 @@ def test_online_view_is_partial_aggregation(spark, tmp_path):
     plan = fg.online_view()._jdf.queryExecution().executedPlan().toString()
     assert "max_by" in plan
     assert "Window" not in plan
+
+
+def test_q96_broadcasts_the_scalar_total(spark, sf_dir):
+    """The grand total joins in as a broadcast (a 1-row side must never
+    trigger a shuffle join), and the per-user count is partially
+    aggregated map-side."""
+    plan = plan_of(spark, sf_dir, "q96_heavy_hitters")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q97_histogram_is_one_partial_aggregate_no_sort_shuffle(spark, sf_dir):
+    """Equi-width histogram: integer bin math keyed aggregation —
+    map-side combine, a single exchange, no window, no Python."""
+    plan = plan_of(spark, sf_dir, "q97_price_histogram")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+    assert "Python" not in plan
+
+
+def test_q98_mode_window_runs_inside_user_partitions(spark, sf_dir):
+    """Per-group mode: the ranking window partitions by user_id — no
+    global (empty-partition) window, which would serialize on one task."""
+    plan = plan_of(spark, sf_dir, "q98_modal_event_type")
+    assert "Window" in plan
+    assert "partitionspec" not in plan.lower().replace("partition by", "")  # sanity
+    assert "Python" not in plan
