@@ -37,6 +37,7 @@ HEADLINE = [
     "q87_token_budget_sample",   # hash-ordered token-budget sampling
     "q88_media_features",        # stub media encoder (Arrow binary->array path)
     "q89_funnel_stages",         # sequence-pattern funnel analytics
+    "q100_event_transitions",    # per-user lag window -> transition matrix
 ]
 
 

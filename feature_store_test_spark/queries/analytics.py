@@ -284,3 +284,84 @@ def q98_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("modal_type"), "n")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q99 — spend deciles: rank users into 10 equal buckets by lifetime spend
+# and report each decile's size and total. ntile needs a TOTAL order, so
+# the window sorts by (spend desc, user_id) — the unique tiebreak keeps
+# the bucketing deterministic in any engine. Scale: the global window runs
+# AFTER the per-user aggregate, so its input is |users|, not |events|; at
+# billion-user cardinality swap the exact rank for q90's GK-sketch cutoffs
+# or a repartitionByRange + per-partition-offset two-pass — the decile
+# SEMANTICS stay identical. Spend stays decimal until the final cast.
+# ---------------------------------------------------------------------------
+@register(
+    "q99_spend_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS spend
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT user_id, spend,
+             NTILE(10) OVER (ORDER BY spend DESC, user_id) AS decile
+      FROM spend
+    )
+    SELECT decile, COUNT(*) AS n_users, CAST(SUM(spend) AS DOUBLE) AS decile_spend
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    doc="decile analysis of per-user lifetime spend (deterministic ntile)",
+    tags=("analytics", "window", "ntile", "agg"),
+)
+def q99_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    spend = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), "user_id")
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("spend").cast("double").alias("decile_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q100 — event-type transition matrix: for each user's time-ordered event
+# sequence, count (previous type -> current type) transitions — the
+# first-order Markov view of behavior (what follows what). lag() runs
+# inside each user's partition (never global); ordering ties on equal
+# timestamps break by event_id so both engines walk identical sequences.
+# One shuffle on user_id for the window, one map-side-combinable count.
+# ---------------------------------------------------------------------------
+@register(
+    "q100_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="first-order Markov transition counts over per-user event sequences",
+    tags=("analytics", "window", "sequence", "agg"),
+)
+def q100_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )

@@ -174,3 +174,57 @@ def q27_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(Tx.fingerprint("text"), 1, 16).alias("fp_short"),
         Tx.prefix_fingerprint("text", 8).alias("fp_head8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q101 — distinctive terms per document: rank each doc's terms by tf/df
+# (term frequency over document frequency — the idf-free TF-IDF core; both
+# engines divide the same exact integers, and IEEE double division is
+# bit-identical, so the ranking needs no rounding discipline). Plan: one
+# explode -> (doc,term) count [shuffle on (doc,term)], vocabulary df from
+# that same frame [shuffle on term, tiny output], df BROADCAST back onto
+# tf (vocabulary ~ millions of terms fits executors at 100 TB corpus
+# scale; web-scale vocab would switch to a sort-merge join on term), then
+# a per-doc ranking window. The doc text itself never shuffles — only
+# (doc_id, term, counts) rows do.
+# ---------------------------------------------------------------------------
+@register(
+    "q101_distinctive_terms",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tokens WHERE term <> '' GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    )
+    SELECT doc_id, term, tf, df
+    FROM tf JOIN df USING (term)
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY tf * 1.0 / df DESC, term
+    ) <= 3
+    ORDER BY doc_id, term
+    """,
+    doc="top-3 distinctive terms per doc by tf/df ratio (TF-IDF core)",
+    tags=("text", "tfidf", "window", "agg", "join"),
+)
+def q101_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * 1.0 / F.col("df")).desc(), "term"
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df")
+        .orderBy("doc_id", "term")
+    )

@@ -123,3 +123,30 @@ def test_q98_mode_window_runs_inside_user_partitions(spark, sf_dir):
     assert "Window" in plan
     assert "partitionspec" not in plan.lower().replace("partition by", "")  # sanity
     assert "Python" not in plan
+
+
+def test_q99_decile_window_runs_after_the_aggregate(spark, sf_dir):
+    """ntile's global window must consume the per-user AGGREGATE (|users|
+    rows), not the raw event scan — the aggregate appears below the window
+    in the plan, and the raw value column never reaches the window."""
+    plan = plan_of(spark, sf_dir, "q99_spend_deciles")
+    assert "Window" in plan and plan.count("HashAggregate") >= 3
+    # the window orders by the aggregated spend column, not raw value
+    assert "spend" in plan.split("Window", 1)[1].split("\n")[0]
+    assert "Python" not in plan
+
+
+def test_q100_transition_window_partitions_by_user(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q100_event_transitions")
+    assert "Window" in plan and "Python" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q101_vocabulary_broadcasts_onto_tf(spark, sf_dir):
+    """The df (vocabulary) side joins back as a broadcast — the big
+    (doc,term) tf frame must not shuffle for the join — and the ranking
+    window partitions by doc_id. No Python anywhere."""
+    plan = plan_of(spark, sf_dir, "q101_distinctive_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan and "Python" not in plan
