@@ -363,3 +363,63 @@ def q95_source_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q102 — eval-set decontamination: flag training documents that share any
+# 8-gram with the held-out eval slice (here: doc_id % 97 == 0 stands in
+# for the benchmark set). The standard pretraining hygiene step — exact
+# n-gram overlap, the method used for public benchmark decontamination.
+# Plan: token arrays -> 8-gram strings via transform+slice (JVM
+# higher-order functions, no explode of the text itself until the gram
+# rows), eval grams DISTINCT then BROADCAST (benchmarks are KBs-MBs
+# against a 100 TB corpus — never shuffle the corpus for this join), then
+# a per-doc distinct-gram count. At scale the gram string would compact
+# to xxhash64 before the join (64-bit keys, collision odds ~n²/2⁶⁴ —
+# fine for flagging); the oracle keeps raw strings so both engines count
+# identical sets.
+# ---------------------------------------------------------------------------
+@register(
+    "q102_decontamination",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 6),
+                    i -> array_to_string(toks[i:i+7], ' '))) AS gram
+      FROM t WHERE len(toks) >= 8
+    ), eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+    FROM grams g JOIN eval_grams e USING (gram)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="flag train docs sharing any 8-gram with the eval slice (exact overlap)",
+    tags=("pipeline", "decontamination", "dedup", "join"),
+)
+def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = docs.where(F.size("toks") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 7),
+                lambda i: F.array_join(F.slice("toks", i, 8), " "),
+            )
+        ).alias("gram"),
+    )
+    eval_grams = (
+        grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+        .orderBy("doc_id")
+    )
