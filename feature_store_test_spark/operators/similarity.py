@@ -406,3 +406,201 @@ def pca_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's fine quantizer — the billion-scale recipe)
+# ---------------------------------------------------------------------------
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_size: int = 100_000,
+) -> list[list[list[float]]]:
+    """Fit ``m`` per-subspace codebooks of ``k`` centroids each (classic
+    product quantization): the vector splits into m contiguous subvectors
+    and each subspace gets its own small KMeans. Returns
+    ``codebooks[j][c] -> list[float]`` (m·k·(dim/m) floats — tiny; rides
+    into plans as literals like the IVF centroids).
+
+    Training runs a seeded Lloyd's iteration in numpy over a bounded,
+    deterministic SAMPLE of the corpus — the standard PQ practice (faiss
+    trains codebooks on ~10⁵ sampled vectors regardless of corpus size):
+    codebook quality saturates long before the sample does, so the 100 TB
+    corpus never feeds the fit. The sample is taken by hash order
+    (md5 of the row's vector id-free content is overkill here — a seeded
+    DataFrame sample suffices: same seed → same rows → same codebooks).
+    Encoding the full corpus stays distributed (pq_encode). Vectors are
+    L2-normalized before fitting so PQ's L2 distances rank identically to
+    cosine. A training step, not a SQL expression — consumers are
+    rows-only checked with recall bounds.
+    """
+    import numpy as np
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    n_total = corpus.count()
+    frac = min(1.0, sample_size / max(n_total, 1))
+    sampled = corpus.select(vec_col) if frac >= 1.0 else corpus.select(
+        vec_col
+    ).sample(fraction=frac, seed=seed)
+    X = np.array([r[0] for r in sampled.collect()], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+
+    codebooks = []
+    for j in range(m):
+        S = X[:, j * d : (j + 1) * d]
+        rng = np.random.default_rng(seed + j)
+        cents = S[rng.choice(len(S), size=k, replace=False)].copy()
+        for _ in range(max_iter):
+            # assign: nearest centroid by squared L2
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            new = cents.copy()
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    new[c] = S[mask].mean(axis=0)
+            if np.allclose(new, cents):
+                break
+            cents = new
+        codebooks.append([[float(x) for x in c] for c in cents])
+    return codebooks
+
+
+def _sq_l2(a: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance between an array column and a literal centroid
+    (ordered zip_with fold — deterministic double accumulation)."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    diffs = F.zip_with(a, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Assign each row its m-byte PQ code: per subspace, the index of the
+    nearest codebook centroid. Pure JVM expressions — the codebook rides
+    in as ONE literal array-of-arrays per subspace and a single
+    ``transform`` lambda computes all k distances (a compact plan, not
+    m·k unrolled folds; Catalyst's subexpression elimination shares the
+    duplicated argmin reference). The normalized vector materializes once
+    per row. argmin = position of the array minimum; ties pick the first
+    index — deterministic.
+    """
+    d = len(codebooks[0][0])
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+    )
+    out = df.withColumn("__unit", unit)
+    code_exprs = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(F.col("__unit"), j * d + 1, d)
+        lit_book = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        )
+        def _dist_to(s):
+            # factory so transform sees a UNARY lambda (a 2-arg lambda
+            # would be read as (element, index))
+            return lambda cent: F.aggregate(
+                F.zip_with(s, cent, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        dists = F.transform(lit_book, _dist_to(sub))
+        code_exprs.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return out.withColumn(out_col, F.array(*code_exprs)).drop("__unit")
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_candidates: int = 25,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance PQ search with exact rescoring.
+
+    1. Corpus rows carry only their m small codes (the 100 TB win: the
+       scan that scores candidates reads m ints per vector, not dim
+       floats).
+    2. Per query, a lookup table LUT[j][c] = ||q_sub_j - centroid_jc||²
+       is built driver-side (queries are request-sized by definition —
+       the same broadcast discipline as cosine_topk) and shipped as a
+       broadcast (query_id, j, code, d) frame.
+    3. ADC score = Σ_j LUT[j][code_j], computed relationally: posexplode
+       the codes, broadcast-join the LUT, partial-agg the sum — map-side
+       combinable, no Python, no per-row driver work.
+    4. The ADC top-``n_candidates`` per query are rescored with exact
+       full-dimension cosine; output schema matches cosine_topk.
+    """
+    codes = pq_encode(corpus, codebooks, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    qrows = queries.select(id_col, vec_col).collect()
+    d = len(codebooks[0][0])
+
+    def unit(v):
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    lut_rows = []
+    for r in qrows:
+        qv = unit([float(x) for x in r[vec_col]])
+        for j, book in enumerate(codebooks):
+            sub = qv[j * d : (j + 1) * d]
+            for c, cent in enumerate(book):
+                dist = sum((a - b) * (a - b) for a, b in zip(sub, cent))
+                lut_rows.append((r[id_col], j, c, dist))
+    lut = corpus.sparkSession.createDataFrame(
+        lut_rows, "query_id long, j int, code int, d double"
+    )
+
+    adc = (
+        codes.select(
+            "neighbor_id", F.posexplode("codes").alias("j", "code")
+        )
+        .join(F.broadcast(lut), ["j", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adist"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("adist"), "neighbor_id")
+    cands = (
+        adc.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    rescored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("__qv", "__cv"), round_dp).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -239,3 +239,25 @@ def q91_pca_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 10 == 0)
     comp = pca_train(emb, k=24)
     return pca_ann_topk(emb, queries, comp, k=5, n_candidates=50)
+
+
+# ---------------------------------------------------------------------------
+# Q103 — product-quantization ANN (the IVF-PQ fine quantizer): corpus
+# vectors compress to m=8 4-bit-ish codes, queries score candidates by
+# asymmetric distance against broadcast lookup tables, exact cosine
+# rescores the survivors. Rows-only (KMeans training step); recall vs
+# exact and determinism are test-locked in tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q103_pq_ann_topk",
+    oracle=None,
+    doc="PQ(m=8,k=16) asymmetric-distance ANN + exact rescore top-5",
+    tags=("similarity", "ann", "pq", "ml"),
+)
+def q103_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.similarity import pq_ann_topk, pq_train
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    books = pq_train(emb, m=8, k=16)
+    return pq_ann_topk(emb, queries, books, k=5, n_candidates=50)

@@ -189,3 +189,37 @@ def test_pca_projection_is_jvm_side(spark):
         pca_project(emb, comp)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan
+
+
+def test_pq_ann_recall_and_determinism(spark, sf_dir):
+    """PQ ADC + rescore: recall@5 vs exact must clear the floor the
+    PCA path also meets, the result must be identical across two runs
+    (KMeans seeds fixed), and every query returns exactly k rows."""
+    from feature_store_test_spark.operators.similarity import (
+        cosine_topk,
+        pq_ann_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    books = pq_train(emb, m=8, k=16)
+    approx = pq_ann_topk(emb, queries, books, k=5, n_candidates=50)
+    exact = cosine_topk(emb, queries, k=5)
+
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.4, recall
+
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_ann_topk(emb, queries, books, k=5, n_candidates=50).collect()
+    }
+    assert a == again
+
+    n_q = queries.count()
+    assert approx.count() == 5 * n_q
+    # self-match: each query's own vector must survive ADC + rescore at rank 1
+    top1 = {r.query_id: r.neighbor_id for r in approx.where(F.col("rank") == 1).collect()}
+    assert all(q == n for q, n in top1.items())
