@@ -523,6 +523,32 @@ def pq_encode(
     return out.withColumn(out_col, F.array(*code_exprs)).drop("__unit")
 
 
+def _pq_lut(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup table: LUT[j][c] = ||q_sub_j - centroid_jc||²,
+    built driver-side (queries are request-sized by definition — the same
+    broadcast discipline as cosine_topk) as a (query_id, j, code, d)
+    frame to broadcast-join against exploded corpus codes."""
+    d = len(codebooks[0][0])
+    rows = []
+    for r in queries.select(id_col, vec_col).collect():
+        v = [float(x) for x in r[vec_col]]
+        n = sum(x * x for x in v) ** 0.5
+        qv = [x / n for x in v]
+        for j, book in enumerate(codebooks):
+            sub = qv[j * d : (j + 1) * d]
+            for c, cent in enumerate(book):
+                dist = sum((a - b) * (a - b) for a, b in zip(sub, cent))
+                rows.append((r[id_col], j, c, dist))
+    return queries.sparkSession.createDataFrame(
+        rows, "query_id long, j int, code int, d double"
+    )
+
+
 def pq_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -551,30 +577,91 @@ def pq_ann_topk(
     codes = pq_encode(corpus, codebooks, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
-    qrows = queries.select(id_col, vec_col).collect()
-    d = len(codebooks[0][0])
-
-    def unit(v):
-        n = sum(x * x for x in v) ** 0.5
-        return [x / n for x in v]
-
-    lut_rows = []
-    for r in qrows:
-        qv = unit([float(x) for x in r[vec_col]])
-        for j, book in enumerate(codebooks):
-            sub = qv[j * d : (j + 1) * d]
-            for c, cent in enumerate(book):
-                dist = sum((a - b) * (a - b) for a, b in zip(sub, cent))
-                lut_rows.append((r[id_col], j, c, dist))
-    lut = corpus.sparkSession.createDataFrame(
-        lut_rows, "query_id long, j int, code int, d double"
-    )
+    lut = _pq_lut(queries, codebooks, id_col, vec_col)
 
     adc = (
         codes.select(
             "neighbor_id", F.posexplode("codes").alias("j", "code")
         )
         .join(F.broadcast(lut), ["j", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adist"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("adist"), "neighbor_id")
+    cands = (
+        adc.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    rescored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("__qv", "__cv"), round_dp).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    n_candidates: int = 50,
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the full billion-scale recipe — coarse cells cut the
+    candidate set to ~n_probe/n_cells of the corpus, PQ codes cut the
+    per-candidate score cost to m LUT lookups, exact cosine rescores the
+    survivors. Composition of ``ivf_assign`` + ``pq_encode``/ADC:
+
+    1. each corpus vector lives in ONE cell and carries its m codes
+       (stored once — at scale this is the persisted index layout,
+       partitioned by cid);
+    2. each query probes its ``n_probe`` nearest cells; only members of
+       probed cells are ADC-scored (the join is cid-equi, THEN the
+       broadcast LUT join on (query_id, j, code) — no all-pairs stage);
+    3. ADC top-``n_candidates`` rescore with exact full-dim cosine.
+
+    Output schema matches cosine_topk; self-matches are kept (rank 1 ==
+    the query itself when it is in the corpus), mirroring pq_ann_topk.
+    """
+    ca = ivf_assign(corpus, centroids, id_col, vec_col, 1, round_dp)
+    codes = pq_encode(
+        ca.select(
+            F.col("__id").alias("neighbor_id"),
+            F.col("__v").alias(vec_col),
+            "cid",
+        ),
+        codebooks,
+        vec_col,
+    ).select("neighbor_id", "cid", "codes")
+    qa = ivf_assign(queries, centroids, id_col, vec_col, n_probe, round_dp).select(
+        F.col("__id").alias("query_id"), "cid"
+    )
+    lut = _pq_lut(queries, codebooks, id_col, vec_col)
+
+    adc = (
+        codes.join(F.broadcast(qa), "cid")
+        .select("query_id", "neighbor_id", F.posexplode("codes").alias("j", "code"))
+        .join(F.broadcast(lut), ["query_id", "j", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").alias("adist"))
     )

@@ -261,3 +261,30 @@ def q103_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 10 == 0)
     books = pq_train(emb, m=8, k=16)
     return pq_ann_topk(emb, queries, books, k=5, n_candidates=50)
+
+
+# ---------------------------------------------------------------------------
+# Q104 — IVF-PQ composed: coarse cells (trained KMeans quantizer) restrict
+# the candidate set, PQ asymmetric distance scores only probed-cell
+# members, exact cosine rescores the top candidates — the faiss
+# billion-scale recipe end-to-end in DataFrame ops. Rows-only (two
+# training steps); recall/self-match/determinism locked in tests.
+# ---------------------------------------------------------------------------
+@register(
+    "q104_ivfpq_ann_topk",
+    oracle=None,
+    doc="IVF(8 cells, nprobe=2) x PQ(m=8,k=16) ANN + exact rescore top-5",
+    tags=("similarity", "ann", "ivf", "pq", "ml"),
+)
+def q104_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.similarity import (
+        ivf_train,
+        ivfpq_ann_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    cents = ivf_train(emb, n_cells=8)
+    books = pq_train(emb, m=8, k=16)
+    return ivfpq_ann_topk(emb, queries, cents, books, k=5, n_probe=2, n_candidates=50)

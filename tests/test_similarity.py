@@ -223,3 +223,43 @@ def test_pq_ann_recall_and_determinism(spark, sf_dir):
     # self-match: each query's own vector must survive ADC + rescore at rank 1
     top1 = {r.query_id: r.neighbor_id for r in approx.where(F.col("rank") == 1).collect()}
     assert all(q == n for q, n in top1.items())
+
+
+def test_ivfpq_recall_self_match_and_candidate_discipline(spark, sf_dir):
+    """Composed IVF-PQ: recall@5 vs exact clears the IVF-flat floor
+    (same nprobe), every query's own vector survives (it is always in a
+    probed cell — its top-1 cell), and neighbors come only from probed
+    cells."""
+    from feature_store_test_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_train,
+        ivfpq_ann_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    cents = ivf_train(emb, n_cells=8)
+    books = pq_train(emb, m=8, k=16)
+    approx = ivfpq_ann_topk(
+        emb, queries, cents, books, k=5, n_probe=2, n_candidates=50
+    ).cache()
+    exact = cosine_topk(emb, queries, k=5)
+
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.4
+
+    top1 = {r.query_id: r.neighbor_id for r in approx.where(F.col("rank") == 1).collect()}
+    assert all(q == n for q, n in top1.items())
+
+    # candidate discipline: every returned neighbor shares a probed cell
+    ca = ivf_assign(emb, cents, "vec_id", "embedding", 1)
+    qa = ivf_assign(queries, cents, "vec_id", "embedding", 2)
+    cell_of = {r["__id"]: r["cid"] for r in ca.collect()}
+    probed = {}
+    for r in qa.collect():
+        probed.setdefault(r["__id"], set()).add(r["cid"])
+    for q, n in a:
+        assert cell_of[n] in probed[q], (q, n)
