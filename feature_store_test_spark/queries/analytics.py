@@ -365,3 +365,63 @@ def q100_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q105 — referential-integrity audit: orphan counts for every declared
+# foreign key, in one pass per relationship (left-anti join → count).
+# The operational data-quality sweep a warehouse runs after every load;
+# on TPC-H-shaped data all counts are zero — the AUDIT is the capability,
+# and a nonzero row is the alert. Scale: each check is an anti join that
+# broadcasts the parent's key column when small (customer/part/supplier)
+# and sort-merges lineitem→orders; counts are map-side partial. The four
+# checks are independent — Spark runs their stages concurrently under one
+# action (the union).
+# ---------------------------------------------------------------------------
+@register(
+    "q105_referential_audit",
+    oracle="""
+    SELECT 'lineitem.orderkey' AS fk, COUNT(*) AS n_orphans FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.partkey', COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.suppkey', COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'orders.custkey', COUNT(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    ORDER BY fk
+    """,
+    doc="orphan counts per declared foreign key (anti-join audit sweep)",
+    tags=("analytics", "data-quality", "anti-join", "agg"),
+)
+def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    checks = [
+        ("lineitem.orderkey", li, o.select("o_orderkey"),
+         F.col("l_orderkey") == F.col("o_orderkey"), False),
+        ("lineitem.partkey", li,
+         load_table(spark, "part", sf_dir).select("p_partkey"),
+         F.col("l_partkey") == F.col("p_partkey"), True),
+        ("lineitem.suppkey", li,
+         load_table(spark, "supplier", sf_dir).select("s_suppkey"),
+         F.col("l_suppkey") == F.col("s_suppkey"), True),
+        ("orders.custkey", o,
+         load_table(spark, "customer", sf_dir).select("c_custkey"),
+         F.col("o_custkey") == F.col("c_custkey"), True),
+    ]
+    parts = []
+    for name, child, parent, cond, bcast in checks:
+        p = F.broadcast(parent) if bcast else parent
+        parts.append(
+            child.join(p, cond, "left_anti").agg(
+                F.lit(name).alias("fk"), F.count(F.lit(1)).alias("n_orphans")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fk")

@@ -150,3 +150,22 @@ def test_q101_vocabulary_broadcasts_onto_tf(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" in plan and "Python" not in plan
+
+
+def test_q102_eval_grams_broadcast_and_no_python(spark, sf_dir):
+    """Decontamination: the eval gram set must reach the corpus join as a
+    broadcast — shuffling the exploded corpus grams for an equi-join
+    against a KB-scale benchmark set would be the classic 100 TB mistake."""
+    plan = plan_of(spark, sf_dir, "q102_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_q105_small_parents_broadcast_anti_joins(spark, sf_dir):
+    """The FK audit's small-dimension checks run as broadcast anti joins
+    (never a shuffle of lineitem against a dimension table)."""
+    plan = plan_of(spark, sf_dir, "q105_referential_audit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftAnti" in plan
+    assert "Python" not in plan
