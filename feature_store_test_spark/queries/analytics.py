@@ -425,3 +425,54 @@ def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# Q106 — rank-family window breadth over customer spend: percent_rank,
+# cume_dist, and the per-nation top spender via first_value. All three
+# are rank ratios (exact-integer numerators/denominators divided in IEEE
+# doubles — bit-identical cross-engine, no rounding discipline needed).
+# The window partitions by nation (25 partitions of ~|customers|/25 rows
+# — never a global sort); ties break on the unique custkey.
+# ---------------------------------------------------------------------------
+@register(
+    "q106_spend_rank_profile",
+    oracle="""
+    WITH spend AS (
+      SELECT c_nationkey, c_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_custkey,
+           CAST(spend AS DOUBLE) AS spend,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           FIRST_VALUE(c_custkey) OVER w AS nation_top_spender
+    FROM spend
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey)
+    ORDER BY c_nationkey, pct_rank, c_custkey
+    """,
+    doc="percent_rank / cume_dist / first_value spend profile per nation",
+    tags=("analytics", "window", "rank", "agg", "join"),
+)
+def q106_spend_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    spend = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("spend").desc(), "c_custkey")
+    return (
+        spend.select(
+            "c_nationkey",
+            "c_custkey",
+            F.col("spend").cast("double").alias("spend"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.first("c_custkey").over(w).alias("nation_top_spender"),
+        )
+        .orderBy("c_nationkey", "pct_rank", "c_custkey")
+    )

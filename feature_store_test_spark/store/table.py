@@ -36,6 +36,18 @@ from pyspark.sql import types as T
 _LOG_DIR = "_commits"
 _DATA_DIR = "data"
 
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first.
+
+    Optimistic concurrency, first-writer-wins: commit files are created
+    EXCLUSIVELY (os.link raises EEXIST where os.rename would silently
+    replace the winner's commit — the lost-update failure mode of naive
+    rename-based logs). Appends are commutative, so ``append`` retries
+    under the next version automatically; ``compact`` aborts because its
+    snapshot is stale — re-run it against the new latest version.
+    """
+
 # types whose per-file min/max are meaningful and JSON-serializable —
 # arrays/maps/binary are excluded (no total order worth skipping on)
 _STAT_TYPES = (
@@ -236,19 +248,29 @@ class VersionedParquetTable:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(data_dir)
 
-        commit = {
-            "version": version,
-            "data_dir": data_dir,
-            "ts_unix": time.time(),
-            "schema": df.schema.jsonValue(),
-            "partition_cols": self.partition_cols,
-            "files": self._collect_file_stats(data_dir, self.schema),
-        }
-        fd, tmp = tempfile.mkstemp(dir=self._log_path, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(commit, f)
-        os.rename(tmp, self._commit_file(version))  # atomic publish
-        return version
+        files = self._collect_file_stats(data_dir, self.schema)
+        # appends are commutative: on a publish race, re-commit the SAME
+        # data files under the next free version (bounded retries)
+        for _ in range(16):
+            commit = {
+                "version": version,
+                "data_dir": data_dir,
+                "ts_unix": time.time(),
+                "schema": df.schema.jsonValue(),
+                "partition_cols": self.partition_cols,
+                "files": files,
+            }
+            fd, tmp = tempfile.mkstemp(dir=self._log_path, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(commit, f)
+            try:
+                self._publish_new_commit(tmp, version)
+                return version
+            except ConcurrentCommitError:
+                version = (self.latest_version() or 0) + 1
+        raise ConcurrentCommitError(
+            f"append to {self.path} lost {16} publish races in a row"
+        )
 
     # -- maintenance --------------------------------------------------------
     def compact(
@@ -344,8 +366,24 @@ class VersionedParquetTable:
         fd, tmp = tempfile.mkstemp(dir=self._log_path, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(commit, f)
-        os.rename(tmp, self._commit_file(version))
+        # a compaction's snapshot is pinned to base_version — losing the
+        # publish race means the snapshot is stale, so abort (no retry)
+        self._publish_new_commit(tmp, version)
         return version
+
+    def _publish_new_commit(self, tmp: str, version: int) -> None:
+        """Exclusively publish a NEW commit file. ``os.link`` is atomic on
+        POSIX and raises if the target exists — unlike ``os.rename``,
+        which would silently overwrite a concurrent winner's commit."""
+        target = self._commit_file(version)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentCommitError(
+                f"version {version} of {self.path} was committed by another writer"
+            ) from None
+        os.unlink(tmp)
 
     def vacuum(self) -> list[int]:
         """Garbage-collect data made unreachable by the LATEST compaction:

@@ -670,3 +670,67 @@ def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="one source row per key"):
         fg.merge(src, when_matched={})
+
+
+def test_concurrent_append_publish_race_retries_to_next_version(spark, tmp_path):
+    """Two writers race to the same version: the loser must NOT clobber
+    the winner's commit (os.link exclusivity) and, appends being
+    commutative, must retry under the next free version — both rows end
+    up readable under distinct versions."""
+    from feature_store_test_spark.store.table import VersionedParquetTable
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+
+    class RacingTable(VersionedParquetTable):
+        """Simulates losing one race: the first publish attempt finds the
+        version already taken (another writer committed between our
+        latest_version() read and our publish)."""
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._race_armed = False
+
+        def _publish_new_commit(self, tmp, version):
+            if self._race_armed:
+                self._race_armed = False
+                other = VersionedParquetTable(spark, self.path, schema)
+                other.append(spark.createDataFrame([(99,)], schema))
+            return super()._publish_new_commit(tmp, version)
+
+    t = RacingTable(spark, str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(1,)], schema))
+    t._race_armed = True
+    v = t.append(spark.createDataFrame([(2,)], schema))
+    assert v == 3  # lost version 2 to the racer, retried to 3
+    got = {r.x for r in t.read().collect()}
+    assert got == {1, 2, 99}  # nobody's commit was clobbered
+    assert t.versions() == [1, 2, 3]
+
+
+def test_compact_aborts_on_publish_race(spark, tmp_path):
+    """compact() pins its snapshot to base_version; if another writer
+    commits first, the compaction must abort loudly, not retry onto a
+    stale snapshot."""
+    from feature_store_test_spark.store.table import (
+        ConcurrentCommitError,
+        VersionedParquetTable,
+    )
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+
+    class RacingTable(VersionedParquetTable):
+        def _publish_new_commit(self, tmp, version):
+            if not getattr(self, "_raced", False):
+                self._raced = True
+                other = VersionedParquetTable(spark, self.path, schema)
+                other.append(spark.createDataFrame([(99,)], schema))
+            return super()._publish_new_commit(tmp, version)
+
+    t = RacingTable(spark, str(tmp_path / "t"), schema)
+    VersionedParquetTable(spark, str(tmp_path / "t"), schema).append(
+        spark.createDataFrame([(1,)], schema)
+    )
+    with pytest.raises(ConcurrentCommitError):
+        t.compact()
+    # the racer's commit survived untouched
+    assert {r.x for r in t.read().collect()} == {1, 99}
