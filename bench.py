@@ -37,7 +37,12 @@ HEADLINE = [
     "q87_token_budget_sample",   # hash-ordered token-budget sampling
     "q88_media_features",        # stub media encoder (Arrow binary->array path)
     "q89_funnel_stages",         # sequence-pattern funnel analytics
+    "q97_price_histogram",       # single partial-agg equi-width histogram
     "q100_event_transitions",    # per-user lag window -> transition matrix
+    "q101_distinctive_terms",    # explode + tf/df broadcast join + window
+    "q102_decontamination",      # 8-gram overlap vs broadcast eval set
+    "q105_referential_audit",    # 4-way broadcast anti-join sweep
+    "q106_spend_rank_profile",   # rank-family windows over join+agg
 ]
 
 
