@@ -80,3 +80,113 @@ def stateful_incremental_avg(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Timeout-closed sessions: state expiry via GroupStateTimeout.EventTimeTimeout
+# ---------------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start", T.TimestampType()),
+        T.StructField("end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _session_fold(gap_ms: int):
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        import datetime as _dt
+
+        # timeout fired with no new data: the open session is complete —
+        # emit it and drop the state (bounded memory is the whole point)
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [start],
+                    "session_end": [end],
+                    "n_events": [n],
+                }
+            )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        out = {
+            "user_id": [],
+            "session_start": [],
+            "session_end": [],
+            "n_events": [],
+        }
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = None
+        for ts in rows["ts"]:
+            ts = ts.to_pydatetime()
+            if start is None:
+                start, end, n = ts, ts, 0
+            elif (ts - end) > _dt.timedelta(milliseconds=gap_ms):
+                out["user_id"].append(key[0])
+                out["session_start"].append(start)
+                out["session_end"].append(end)
+                out["n_events"].append(n)
+                start, end, n = ts, ts, 0
+            n += 1
+            end = ts
+        close_at = int(end.timestamp() * 1000) + gap_ms
+        if close_at <= state.getCurrentWatermarkMs():
+            # the watermark already proves no more events can join this
+            # session (a timeout may not be set in the past) — close now
+            out["user_id"].append(key[0])
+            out["session_start"].append(start)
+            out["session_end"].append(end)
+            out["n_events"].append(n)
+            state.remove()
+        else:
+            state.update((start, end, n))
+            # wake up once event time passes end + gap: if nothing else
+            # arrives for this key, the session closes on that timeout
+            state.setTimeoutTimestamp(close_at)
+        yield pd.DataFrame(out)
+
+    return fold
+
+
+def stateful_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """events(user_id, ts, ...) [streaming, watermarked on ts] → closed
+    sessions (start, end, n_events) per user, gap-separated.
+
+    Unlike ``F.session_window`` (which Spark manages wholly), this is the
+    CUSTOM-state template: sessions close either when a later event
+    arrives past the gap (emitted inline) or when the event-time watermark
+    passes end + gap with no new data (``state.hasTimedOut`` — the state
+    expiry path that keeps per-key memory bounded at 100 TB/day). Append
+    mode: each session emits exactly once, when it closes.
+    """
+    unit = {"minutes": 60_000, "minute": 60_000, "seconds": 1_000, "second": 1_000}
+    qty, u = gap.split()
+    gap_ms = int(qty) * unit[u]
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fold(gap_ms),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -146,3 +146,66 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
     q.awaitTermination()
     got = sorted((r.s_id, r.p_id) for r in spark.table("ss_join").collect())
     assert got == want and len(got) > 0
+
+
+def test_stateful_sessions_close_on_gap_and_timeout(spark, sf_dir, tmp_path):
+    """Custom EventTimeTimeout sessionizer: over a drained stream, closed
+    sessions must match the batch session_window aggregation for every
+    session whose end + gap precedes the final watermark; later sessions
+    may still sit in state (the documented tail contract)."""
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.streaming.stateful import stateful_sessions
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id") < 30)
+        .select("user_id", "ts")
+    )
+    src = tmp_path / "src"
+    ev.where(F.col("user_id") % 2 == 0).coalesce(1).write.mode("append").parquet(str(src))
+    ev.where(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "0 seconds")
+    )
+    out = tmp_path / "out"
+    q = (
+        stateful_sessions(stream, gap="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = {
+        (r.user_id, r["w.start"], r["w.end"], r.n_events)
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("w.start"),
+                F.col("w.end").alias("w.end"), "n_events")
+        .collect()
+    }
+    # session_window's end = last_ts + gap; the custom operator records the
+    # LAST EVENT time as end — align by shifting batch ends back 30 min
+    import datetime
+
+    gap = datetime.timedelta(minutes=30)
+    batch = {(u, s, e - gap, n) for (u, s, e, n) in batch}
+
+    assert got <= batch
+    wm = ev.agg(F.max("ts")).first()[0]
+    provably_closed = {t for t in batch if t[2] + gap < wm}
+    assert provably_closed <= got
+    assert len(got) > 0
