@@ -339,6 +339,14 @@ class VersionedParquetTable:
             )
         elif n_files:
             snapshot = snapshot.repartition(n_files)
+        return self._rewrite_snapshot(
+            snapshot, base, {"cluster_by": cluster_by or [], "zorder_by": zorder_by or []}
+        )
+
+    def _rewrite_snapshot(self, snapshot: DataFrame, base: int, extra: dict) -> int:
+        """Publish ``snapshot`` (with its ``_commit_version`` column) as a
+        compact-type commit replacing everything up to ``base``. Shared by
+        compact / delete / restore — every full-snapshot rewrite op."""
         os.makedirs(self._log_path, exist_ok=True)
         version = base + 1
         data_dir = os.path.join(
@@ -359,17 +367,77 @@ class VersionedParquetTable:
             "ts_unix": time.time(),
             "schema": snapshot.schema.jsonValue(),
             "partition_cols": self.partition_cols,
-            "cluster_by": cluster_by or [],
-            "zorder_by": zorder_by or [],
             "files": self._collect_file_stats(data_dir, compact_schema),
+            **extra,
         }
         fd, tmp = tempfile.mkstemp(dir=self._log_path, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(commit, f)
-        # a compaction's snapshot is pinned to base_version — losing the
+        # a snapshot rewrite is pinned to base_version — losing the
         # publish race means the snapshot is stale, so abort (no retry)
         self._publish_new_commit(tmp, version)
         return version
+
+    def delete(self, condition) -> tuple[int, int]:
+        """DELETE FROM analog: rewrite the snapshot without matching rows.
+
+        ``condition``: a Column or SQL string. Returns (new_version,
+        n_deleted). Copy-on-write like Delta's DELETE — time travel to
+        any pre-delete version still sees the rows (vacuum is the
+        retention boundary, same as always). At scale the rewrite cost is
+        the snapshot scan; partition-aligned predicates could rewrite
+        only affected partitions (documented trade — not implemented)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        base = self.latest_version()
+        if base is None:
+            raise ValueError("nothing to delete from: table has no commits")
+        snapshot = self.read().cache()
+        try:
+            n_deleted = snapshot.where(cond).count()
+            kept = snapshot.where(~cond | cond.isNull())
+            version = self._rewrite_snapshot(
+                kept, base, {"op": "delete", "predicate": str(condition)}
+            )
+        finally:
+            snapshot.unpersist()
+        return version, n_deleted
+
+    def restore(self, to_version: int) -> int:
+        """RESTORE analog: re-publish the snapshot as of ``to_version`` as
+        the new latest version (history is preserved — the restore is
+        itself a commit, exactly like Delta RESTORE)."""
+        if to_version not in self.versions():
+            raise ValueError(f"unknown version {to_version}")
+        base = self.latest_version()
+        snapshot = self.read(as_of_version=to_version)
+        return self._rewrite_snapshot(
+            snapshot, base, {"op": "restore", "restored_from": to_version}
+        )
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY analog: one row per commit — version, type,
+        operation, timestamp, file/row counts — straight from the log."""
+        rows = []
+        for v in self.versions():
+            c = self._load_commit(v)
+            files = c.get("files") or []
+            rows.append(
+                (
+                    c["version"],
+                    c.get("type", "append"),
+                    c.get("op", c.get("type", "append")),
+                    float(c["ts_unix"]),
+                    len(files),
+                    sum(f.get("rows") or 0 for f in files),
+                    c.get("base_version"),
+                    c.get("restored_from"),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, type string, op string, ts_unix double, "
+            "n_files int, n_rows long, base_version int, restored_from int",
+        )
 
     def _publish_new_commit(self, tmp: str, version: int) -> None:
         """Exclusively publish a NEW commit file. ``os.link`` is atomic on
@@ -661,7 +729,9 @@ class VersionedParquetTable:
             "commits_without_stats": no_stats,
         }
 
-    def history(self) -> list[dict]:
+    def commits(self) -> list[dict]:
+        """Raw commit-log entries (the machine-readable log; ``history()``
+        is the DESCRIBE HISTORY DataFrame view of the same)."""
         out = []
         for v in self.versions():
             with open(self._commit_file(v)) as f:

@@ -336,7 +336,7 @@ def _kv_table(spark, tmp_path, n=1000, commits=4):
 
 def test_commit_log_records_file_stats(spark, tmp_path):
     t = _kv_table(spark, tmp_path, n=100, commits=1)
-    files = t.history()[0]["files"]
+    files = t.commits()[0]["files"]
     assert files and all(f["rows"] > 0 for f in files)
     ks = [f["stats"]["k"] for f in files]
     assert min(s["min"] for s in ks) == 0 and max(s["max"] for s in ks) == 99
@@ -734,3 +734,45 @@ def test_compact_aborts_on_publish_race(spark, tmp_path):
         t.compact()
     # the racer's commit survived untouched
     assert {r.x for r in t.read().collect()} == {1, 99}
+
+
+def test_delete_restore_and_history(spark, tmp_path):
+    """DELETE rewrites the snapshot copy-on-write (time travel still sees
+    the rows); RESTORE republishes an old snapshot as the new latest;
+    history() enumerates every commit with its operation."""
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    t = VersionedParquetTable(spark, str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(1,), (2,), (3,)], schema))
+    t.append(spark.createDataFrame([(4,)], schema))
+
+    v, n = t.delete("x >= 3")
+    assert (v, n) == (3, 2)
+    assert {r.x for r in t.read().collect()} == {1, 2}
+    # pre-delete versions still fully readable
+    assert {r.x for r in t.read(as_of_version=2).collect()} == {1, 2, 3, 4}
+    # arrival-order axis survives the rewrite
+    assert {r["_commit_version"] for r in t.read().collect()} == {1}
+
+    rv = t.restore(2)
+    assert rv == 4
+    assert {r.x for r in t.read().collect()} == {1, 2, 3, 4}
+
+    h = {r.version: (r.type, r.op) for r in t.history().collect()}
+    assert h[1] == ("append", "append")
+    assert h[3] == ("compact", "delete")
+    assert h[4] == ("compact", "restore")
+    hist = {r.version: r for r in t.history().collect()}
+    assert hist[4].restored_from == 2
+    assert hist[3].n_rows == 2  # post-delete snapshot row count
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """Rows where the predicate is NULL are KEPT (SQL DELETE semantics:
+    only rows where the condition is TRUE are removed)."""
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    t = VersionedParquetTable(spark, str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(1,), (None,), (5,)], schema))
+    v, n = t.delete("x > 2")
+    assert n == 1
+    got = {r.x for r in t.read().collect()}
+    assert got == {1, None}
