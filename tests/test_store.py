@@ -776,3 +776,41 @@ def test_delete_keeps_null_predicate_rows(spark, tmp_path):
     assert n == 1
     got = {r.x for r in t.read().collect()}
     assert got == {1, None}
+
+
+def test_diff_reports_inserts_deletes_and_updates(spark, tmp_path):
+    """Delete-aware CDF: diff() tags snapshot differences with the Delta
+    change-type vocabulary, including update_pre/update_post pairs when a
+    key's values changed across the range."""
+    schema = T.StructType(
+        [T.StructField("x", T.LongType()), T.StructField("s", T.StringType())]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema))  # v1
+    t.append(spark.createDataFrame([(4, "d")], schema))                      # v2
+
+    # full-history diff: everything is an insert
+    d0 = t.diff(0)
+    assert {r["_change_type"] for r in d0.collect()} == {"insert"}
+    assert d0.count() == 4
+
+    t.delete("x = 2")                                                        # v3
+    t.append(spark.createDataFrame([(2, "B")], schema))                      # v4
+
+    d = t.diff(2, 4, key_cols=["x"])
+    by_type = {}
+    for r in d.collect():
+        by_type.setdefault(r["_change_type"], set()).add((r.x, r.s))
+    assert by_type["update_pre"] == {(2, "b")}
+    assert by_type["update_post"] == {(2, "B")}
+    assert "insert" not in by_type and "delete" not in by_type
+
+    # row-level (no keys): the same range is one delete + one insert
+    d2 = t.diff(2, 4)
+    rows = {(r["_change_type"], r.x, r.s) for r in d2.collect()}
+    assert rows == {("delete", 2, "b"), ("insert", 2, "B")}
+
+    # a pure delete range
+    d3 = t.diff(1, 3, key_cols=["x"])
+    got = {(r["_change_type"], r.x) for r in d3.collect()}
+    assert got == {("insert", 4), ("delete", 2)}
