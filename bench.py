@@ -79,6 +79,24 @@ def main() -> None:
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Single-node columnar baseline: run each headline query's DuckDB oracle
+    # SQL on the same parquet at the same SF (DuckDB uses all cores, fully
+    # materializes results). This is the "best native single-node engine"
+    # yardstick — Spark carries JVM/task overhead at toy scale but is the
+    # plan that distributes; large per-query gaps vs DuckDB flag real plan
+    # problems rather than fixed overhead.
+    from feature_store_test_spark.oracle import duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    duck_timings: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = specs[name].oracle
+        if sql is None:
+            continue
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        duck_timings[name] = round(time.perf_counter() - t0, 3)
+
     # Reference-architecture throughput comparison: the reference engineers
     # features with eager single-threaded pandas (groupby/agg). Time the
     # same workload both ways on the same events table.
@@ -187,6 +205,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "duckdb_baseline": {
+                    "total_sec": round(sum(duck_timings.values()), 3),
+                    "queries": duck_timings,
+                },
                 "throughput": throughput,
                 "sf": sf_val,
             }

@@ -691,3 +691,54 @@ def ivfpq_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """``pq_encode`` scale path for large ``m*k``: the expression form
+    plants m·k centroid literals in the plan, and analyzer cost grows with
+    the codebook (fine at 8×16, painful at 64×256). This variant ships the
+    codebooks to executors as numpy arrays inside a ``mapInPandas``
+    closure — plan size stays CONSTANT regardless of codebook size, and
+    each Arrow batch computes all subspace argmins vectorized
+    (O(batch·k·d) numpy per subspace, no per-row Python).
+
+    Same contract as ``pq_encode``: rows keep all columns, ``out_col`` is
+    an array<int> of m nearest-centroid indices over the L2-normalized
+    vector; numpy argmin breaks ties at the first index like
+    ``array_position(array_min)``. Codes can differ from the expression
+    path only on last-ulp distance ties (different float summation
+    order); ``tests/test_similarity.py`` pins equality on the fixtures.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf):
+                V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                V = V / np.linalg.norm(V, axis=1, keepdims=True)
+                codes = np.empty((len(V), m), dtype=np.int64)
+                for j in range(m):
+                    S = V[:, j * d : (j + 1) * d]
+                    d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, j] = d2.argmin(axis=1)
+                pdf[out_col] = [c.tolist() for c in codes]
+            else:
+                pdf[out_col] = []
+            yield pdf
+
+    return df.mapInPandas(encode, out_schema)

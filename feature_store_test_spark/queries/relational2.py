@@ -386,3 +386,44 @@ def q65_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spend_30d"),
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q107 — time-hierarchy ROLLUP (year → month → day) with an explicit
+# drill-level id composed from GROUPING flags (§2.4 "grouping sets / rollup"
+# extension; the calendar-hierarchy form every BI layer generates).
+# level_id is built from the three GROUPING() bits rather than
+# grouping_id() so the Spark and DuckDB results agree by construction
+# regardless of either engine's native bit ordering.
+# Scale: ROLLUP over a 3-level hierarchy is ONE Expand (4 rows per input
+# row) + one hash aggregate — partial aggregation runs after the expand,
+# so the shuffle carries at most (distinct days × 4) rows, not 4× the
+# table. No iterative re-aggregation, no extra shuffles at 100 TB.
+# ---------------------------------------------------------------------------
+_Q107_SQL = """
+    SELECT COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), -1) AS order_year,
+           COALESCE(CAST(EXTRACT(month FROM o_orderdate) AS BIGINT), -1) AS order_month,
+           COALESCE(CAST(EXTRACT(day FROM o_orderdate) AS BIGINT), -1) AS order_day,
+           CAST(GROUPING(EXTRACT(year FROM o_orderdate)) * 4
+              + GROUPING(EXTRACT(month FROM o_orderdate)) * 2
+              + GROUPING(EXTRACT(day FROM o_orderdate)) AS INT) AS level_id,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM {table}
+    GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate),
+                     EXTRACT(month FROM o_orderdate),
+                     EXTRACT(day FROM o_orderdate))
+"""
+
+
+@register(
+    "q107_time_rollup",
+    oracle=_Q107_SQL.format(table="orders"),
+    doc="calendar-hierarchy ROLLUP (year/month/day) with drill-level ids",
+    tags=("agg", "rollup", "sql"),
+)
+def q107_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    o.createOrReplaceTempView("q107_orders")
+    return spark.sql(_Q107_SQL.format(table="q107_orders"))

@@ -263,3 +263,24 @@ def test_ivfpq_recall_self_match_and_candidate_discipline(spark, sf_dir):
         probed.setdefault(r["__id"], set()).add(r["cid"])
     for q, n in a:
         assert cell_of[n] in probed[q], (q, n)
+
+
+def test_pq_encode_arrow_matches_expression_path(spark, sf_dir):
+    """The mapInPandas PQ encoder (constant plan size, for large m*k) must
+    assign the same codes as the expression-tree encoder on the fixture
+    embeddings — same normalization, same argmin tie rule."""
+    from feature_store_test_spark.operators.similarity import (
+        pq_encode,
+        pq_encode_arrow,
+        pq_train,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    books = pq_train(emb, m=8, k=16, seed=7, sample_size=500)
+    expr = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+    arrow = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode_arrow(emb, books).collect()
+    }
+    assert expr == arrow
+    # every code is a valid centroid index
+    assert all(0 <= c < 16 for codes in arrow.values() for c in codes)
