@@ -423,3 +423,74 @@ def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("gram").alias("n_shared"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q108 — stratified class balancing: downsample every language stratum to
+# (approximately) the smallest stratum's size. The per-stratum rate is
+# DATA-DEPENDENT (target/n_total), unlike q80's fixed recipe — this is the
+# class-balancing step of a training pipeline. Membership is decided by
+# pure integer math on a 16-bit md5 prefix: keep iff h16·n_total <
+# target·65536 — no float thresholds, so Spark and DuckDB agree exactly
+# and membership is stable under re-runs and data growth within a stratum
+# count snapshot.
+# Scale: pass 1 is a tiny per-stratum count agg (map-side partials, few
+# groups); the target is a scalar broadcast into a map-side filter on
+# pass 2 — no shuffle touches the full table. At 100 TB the counts could
+# come from table statistics instead of a scan; the filter shape is
+# unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "q108_stratified_balance",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+    ),
+    tgt AS (SELECT MIN(n_total) AS target FROM counts),
+    kept AS (
+      SELECT d.lang
+      FROM documents d
+      JOIN counts c ON d.lang = c.lang
+      CROSS JOIN tgt t
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+              * c.n_total
+            < t.target * 65536
+    )
+    SELECT c.lang,
+           c.n_total,
+           COALESCE(k.n_sampled, 0) AS n_sampled,
+           COALESCE(k.n_sampled, 0) * 1.0 / c.n_total AS realized_rate
+    FROM counts c
+    LEFT JOIN (SELECT lang, COUNT(*) AS n_sampled FROM kept GROUP BY lang) k
+      ON c.lang = k.lang
+    ORDER BY c.lang
+    """,
+    doc="data-dependent stratified downsampling to the smallest class",
+    tags=("pipeline", "sample", "hash"),
+)
+def q108_stratified_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    target = counts.agg(F.min("n_total").alias("target"))
+    h16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    kept = (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(target))
+        .where(h16 * F.col("n_total") < F.col("target") * 65536)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        counts.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            (F.coalesce("n_sampled", F.lit(0)) * 1.0 / F.col("n_total")).alias(
+                "realized_rate"
+            ),
+        )
+        .orderBy("lang")
+    )
