@@ -5,13 +5,19 @@ has a declared ``StructType``; the reader enforces it. At 100 TB, schema
 inference means an extra full-footer scan and silent drift; declared schemas
 also guarantee the parquet reader prunes to exactly the referenced columns.
 
-``events.ts`` is stored as TIMESTAMP(NANOS) which Spark cannot read natively;
-the session sets ``spark.sql.legacy.parquet.nanosAsLong`` and the loader
-truncates ns → µs (``ts div 1000``) — the exact semantics DuckDB applies when
-casting TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree.
+``events.ts`` has been generated as both TIMESTAMP(NANOS) and
+TIMESTAMP(MICROS) across driver runs; the loader sniffs the footer (one
+cached pyarrow metadata read per file — cheap and driver-side) and adapts.
+For ns files Spark cannot read the column natively, so the session sets
+``spark.sql.legacy.parquet.nanosAsLong`` and the loader truncates ns → µs
+(``ts div 1000``) — the exact semantics DuckDB applies when casting
+TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree. For µs files the
+column is read directly as TimestampType.
 """
 
 from __future__ import annotations
+
+import functools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,12 +91,12 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # ts declared LongType: raw ns ticks (legacy.parquet.nanosAsLong);
-    # load_table converts to TimestampType µs.
+    # ts declared TimestampType; ns-stored files get LongType + div-1000
+    # conversion instead (see _events_ts_is_nanos / load_table).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -118,19 +124,34 @@ SCHEMAS: dict[str, T.StructType] = {
 TABLE_NAMES = list(SCHEMAS)
 
 
+@functools.lru_cache(maxsize=None)
+def _events_ts_is_nanos(path: str) -> bool:
+    """True when the events file stores ``ts`` as TIMESTAMP(NANOS)."""
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one driver table with its declared schema.
 
-    ``events`` gets its ns-tick long converted to a µs TimestampType via
-    integer division (truncation — matches DuckDB's ns→µs cast exactly;
-    float division would lose precision at 1.7e18 ns magnitudes).
+    ns-stored ``events`` files get their ns-tick long converted to a µs
+    TimestampType via integer division (truncation — matches DuckDB's ns→µs
+    cast exactly; float division would lose precision at 1.7e18 ns
+    magnitudes). µs-stored files are read natively as TimestampType.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    path = f"{sf_dir}/{name}.parquet"
+    schema = SCHEMAS[name]
+    if name == "events" and _events_ts_is_nanos(path):
+        fields = [
+            T.StructField("ts", T.LongType()) if f.name == "ts" else f
+            for f in schema.fields
+        ]
+        df = spark.read.schema(T.StructType(fields)).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
