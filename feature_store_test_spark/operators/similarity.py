@@ -55,18 +55,29 @@ def cosine_topk(
     (n_queries × corpus) score rows — at 100 TB use the LSH variant to cut
     the scored candidate set first.
     """
+    # Norms are precomputed once per row on each side BEFORE the pair join:
+    # higher-order array folds are interpreted (not codegen'd), so folding
+    # 3 arrays per pair (dot + both norms) costs 3x the single dot fold.
+    # The divisor qn*cn keeps the exact multiplication order of
+    # l2_norm(a)*l2_norm(b), so scores are bit-identical to cosine().
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("__qv", "__cv"), round_dp).alias("cos_sim"),
+            F.round(
+                dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")), round_dp
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
