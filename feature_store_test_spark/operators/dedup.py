@@ -130,19 +130,16 @@ def jaccard_verify(
     )
     za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    # filter on the UNrounded ratio (the oracle's WHERE does too — filtering
+    # on the rounded value would keep a 0.4999996 pair the oracle drops)
+    ratio = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).cast("double")
     return (
         inter.join(za, "id_a")
         .join(zb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+        .where(ratio >= threshold)
+        .select("id_a", "id_b", F.round(ratio, 6).alias("jaccard"))
     )
 
 

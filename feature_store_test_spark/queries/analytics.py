@@ -476,3 +476,53 @@ def q106_spend_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "pct_rank", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q109 — per-group top-k retrieval with share-of-group: the serving-side
+# "show each customer their 3 biggest orders and what fraction of their
+# lifetime spend each one is". Scale: ONE hash shuffle on the group key
+# feeds both the ranking window and the (decimal-exact) group-total window
+# — Catalyst reuses the partitioning, so top-k-per-group at 100 TB costs
+# the same shuffle as any grouped agg; no global sort, no driver top-k.
+# ---------------------------------------------------------------------------
+@register(
+    "q109_group_topk_share",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk,
+           ROUND(o_totalprice / cust_total, 6) AS spend_share
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total
+      FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+    doc="top-3 orders per customer with exact share of lifetime spend",
+    tags=("window", "topk", "serving"),
+)
+def q109_group_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    wp = Window.partitionBy("o_custkey")
+    w = wp.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wp).cast("double")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+            total.alias("cust_total"),
+        )
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            "rnk",
+            F.round(F.col("o_totalprice") / F.col("cust_total"), 6).alias("spend_share"),
+        )
+    )

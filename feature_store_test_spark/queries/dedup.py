@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
 from feature_store_test_spark.operators import text as Tx
-from feature_store_test_spark.operators.dedup import minhash_near_dups
+from feature_store_test_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    minhash_signatures,
+    word_shingles,
+)
 from feature_store_test_spark.registry import register
 
 
@@ -387,4 +392,178 @@ def q84_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", F.col("doc_id")).alias("component"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q110 — incremental ingest dedup: a new batch (source 'src9') is admitted
+# only where (a) its full-content fingerprint does not already exist in the
+# ingested corpus (src0..src8) — a LEFT ANTI join on the md5 key — and
+# (b) it is the first occurrence of that fingerprint *within* the batch
+# (keep-min survivor rule). This is the steady-state shape of corpus
+# building: never re-shuffle the existing corpus bodies, only its
+# fingerprint column joins against the (much smaller) incoming batch.
+# Scale: corpus side reduces to distinct fingerprints (one agg), anti join
+# shuffles (fp, id) pairs only; at a 100 TB corpus the fingerprint set is
+# ~3% of the data and the batch side is broadcast-or-bucketed.
+# ---------------------------------------------------------------------------
+@register(
+    "q110_incremental_dedup",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, md5(text) AS fp, n_chars
+      FROM documents WHERE source = 'src9'
+    ),
+    corpus AS (
+      SELECT DISTINCT md5(text) AS fp
+      FROM documents WHERE source <> 'src9'
+    ),
+    fresh AS (
+      SELECT b.doc_id, b.fp, b.n_chars FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+    )
+    SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS batch_copies,
+           MIN(n_chars) AS n_chars
+    FROM fresh GROUP BY fp
+    """,
+    doc="incremental batch-vs-corpus dedup (anti join on fingerprints + keep-first)",
+    tags=("dedup", "anti-join", "incremental"),
+)
+def q110_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.where(F.col("source") == "src9").select(
+        "doc_id", Tx.fingerprint("text").alias("fp"), "n_chars"
+    )
+    corpus = (
+        docs.where(F.col("source") != "src9")
+        .select(Tx.fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    return (
+        batch.join(corpus, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("batch_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q111 — sketch quality audit: for every LSH candidate pair, the MinHash
+# *estimate* of Jaccard (fraction of the k=8 signature slots that agree)
+# next to the exact shingle Jaccard, with the absolute error. This is the
+# measurement loop that justifies (k, bands) choices before a 100 TB run:
+# the estimate is computable from signatures alone (k numbers per doc),
+# the exact value only for the candidate subset, so auditing stays linear.
+# ---------------------------------------------------------------------------
+@register(
+    "q111_minhash_estimate_quality",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM words, unnest(generate_series(1, len(w) - 2)) AS g(i)
+    ),
+    hashes AS (
+      SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
+      FROM shingles, unnest(generate_series(0, {_MINHASH_K - 1})) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // {_MINHASH_K // _MINHASH_BANDS} AS INT) AS band,
+             md5(string_agg(minhash, '' ORDER BY seed)) AS bucket
+      FROM hashes GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
+               / {_MINHASH_K} AS est_jaccard
+      FROM cands c
+      JOIN hashes ha ON ha.doc_id = c.id_a
+      JOIN hashes hb ON hb.doc_id = c.id_b AND hb.seed = ha.seed
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT c.id_a, c.id_b,
+             CAST(COALESCE(i.i, 0) AS DOUBLE)
+               / (za.sz + zb.sz - COALESCE(i.i, 0)) AS jaccard
+      FROM cands c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes za ON za.doc_id = c.id_a
+      JOIN sizes zb ON zb.doc_id = c.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           ROUND(e.est_jaccard, 6) AS est_jaccard,
+           ROUND(x.jaccard, 6) AS exact_jaccard,
+           ROUND(ABS(e.est_jaccard - x.jaccard), 6) AS abs_err
+    FROM est e JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+    """,
+    doc="MinHash Jaccard estimate vs exact on LSH candidates (sketch audit)",
+    tags=("dedup", "minhash", "quality"),
+)
+def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    k = _MINHASH_K
+    sh = word_shingles(docs, "doc_id", "text", n=3).cache()
+    sigs = minhash_signatures(sh, "doc_id", k=k).cache()
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=k, bands=_MINHASH_BANDS)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (agree.cast("double") / k).alias("est_jaccard"))
+    )
+    # exact Jaccard inline and UNrounded (jaccard_verify rounds, which
+    # would bias abs_err at rounding boundaries); LEFT JOIN keeps
+    # zero-intersection candidates, mirroring the oracle's COALESCE.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa_sh = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb_sh = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa_sh, "id_a")
+        .join(sb_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    i0 = F.coalesce(F.col("i"), F.lit(0)).cast("double")
+    exact_ratio = i0 / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("i"), F.lit(0)))
+    exact = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select("id_a", "id_b", exact_ratio.alias("exact_raw"))
+    )
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("exact_raw", 6).alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_raw")), 6).alias("abs_err"),
     )
