@@ -96,9 +96,14 @@ _JACCARD_T = 0.5
       SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       FROM words, unnest(generate_series(1, len(w) - 2)) AS g(i)
     ),
+    hashed AS (SELECT doc_id, md5(shingle) AS h FROM shingles),
     hashes AS (
-      SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
-      FROM shingles, unnest(generate_series(0, {_MINHASH_K - 1})) AS s(seed)
+      -- k-hash family = one md5, rotated by 32//k hex chars per member
+      -- (must stay in lockstep with operators/dedup.py minhash_signatures)
+      SELECT doc_id, seed,
+             MIN(substr(h, {32 // _MINHASH_K} * seed + 1, 32)
+                 || substr(h, 1, {32 // _MINHASH_K} * seed)) AS minhash
+      FROM hashed, unnest(generate_series(0, {_MINHASH_K - 1})) AS s(seed)
       GROUP BY doc_id, seed
     ),
     bands AS (
@@ -468,9 +473,14 @@ def q110_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       FROM words, unnest(generate_series(1, len(w) - 2)) AS g(i)
     ),
+    hashed AS (SELECT doc_id, md5(shingle) AS h FROM shingles),
     hashes AS (
-      SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
-      FROM shingles, unnest(generate_series(0, {_MINHASH_K - 1})) AS s(seed)
+      -- k-hash family = one md5, rotated by 32//k hex chars per member
+      -- (must stay in lockstep with operators/dedup.py minhash_signatures)
+      SELECT doc_id, seed,
+             MIN(substr(h, {32 // _MINHASH_K} * seed + 1, 32)
+                 || substr(h, 1, {32 // _MINHASH_K} * seed)) AS minhash
+      FROM hashed, unnest(generate_series(0, {_MINHASH_K - 1})) AS s(seed)
       GROUP BY doc_id, seed
     ),
     bands AS (
