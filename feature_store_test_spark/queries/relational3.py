@@ -24,7 +24,7 @@ DuckDB oracle per query. Scale notes per query justify the shape at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
@@ -567,11 +567,14 @@ def q78_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate")
     )
     s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
-    # the flag table feeds three consumers (l1/l2/l3) — cache it so the
-    # lineitem⋈orders agg runs once, not three times (at 100 TB you'd
-    # materialize it as a table instead). Measured at sf0.1 the cache
-    # costs ~0.6 s (materialization) vs the ~0.5 s recompute it saves —
-    # break-even at toy scale, linearly better as the fact table grows.
+    # The correlated EXISTS / NOT EXISTS decompose into per-order counts:
+    # "another supplier exists" = order has >= 2 distinct suppliers;
+    # "no other late supplier" = the order's late-supplier count is exactly
+    # 1 (the row's own). Both come from a window over l_orderkey — the SAME
+    # partitioning the join+agg already produced, so the whole query is ONE
+    # hash shuffle plus a broadcast, vs semi+anti self-joins that re-shuffle
+    # the flag table twice (and needed a cache to avoid recomputing it).
+    # The semi/anti join forms stay exercised by q06/q07/q69/q76/q77.
     flagged = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
@@ -580,19 +583,17 @@ def q78_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
             ).alias("late")
         )
-        .cache()
     )
-    l1 = flagged.where(F.col("late")).select(
-        F.col("l_orderkey").alias("k1"), F.col("l_suppkey").alias("sk1")
-    )
-    l2 = flagged.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2"))
-    l3 = flagged.where(F.col("late")).select(
-        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        l1.join(l2, (F.col("k2") == F.col("k1")) & (F.col("sk2") != F.col("sk1")), "left_semi")
-        .join(l3, (F.col("k3") == F.col("k1")) & (F.col("sk3") != F.col("sk1")), "left_anti")
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("sk1"))
+        flagged.select(
+            "l_suppkey",
+            "late",
+            F.count(F.lit(1)).over(w).alias("n_supp"),
+            F.sum(F.col("late").cast("int")).over(w).alias("n_late"),
+        )
+        .where(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
