@@ -531,7 +531,11 @@ def q110_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     k = _MINHASH_K
-    sh = word_shingles(docs, "doc_id", "text", n=3).cache()
+    # signatures are k short strings per doc and feed three consumers
+    # (banding + both estimate sides) — cache them; the much larger
+    # shingle table pipelines faster recomputed than materialized (see
+    # minhash_near_dups)
+    sh = word_shingles(docs, "doc_id", "text", n=3)
     sigs = minhash_signatures(sh, "doc_id", k=k).cache()
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=k, bands=_MINHASH_BANDS)
     sa = sigs.select(

@@ -681,3 +681,38 @@ def q56_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q112 — VARIANT shredding (Spark 4 semi-structured type): parse the JSON
+# props column ONCE into a binary variant, then extract typed fields with
+# variant_get. Versus q14's string-path functions, the variant parse
+# happens a single time per row regardless of how many fields are read —
+# at 100 TB with wide props objects that is the difference between one
+# JSON parse and one per extracted field. The oracle reads the same
+# numbers with DuckDB's JSON extraction.
+# ---------------------------------------------------------------------------
+@register(
+    "q112_variant_shred",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_distinct_k,
+           CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) < 50 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_small_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="VARIANT parse-once + typed variant_get extraction over event props",
+    tags=("json", "variant", "agg"),
+)
+def q112_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+        F.sum(F.when(F.col("k") < 50, 1).otherwise(0)).alias("n_small_k"),
+    )

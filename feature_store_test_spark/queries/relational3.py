@@ -444,18 +444,21 @@ def q76_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
-        .where(F.col("qty") > 250)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+    # The IN-over-HAVING decorrelates to a single per-order aggregation:
+    # the qualifying sum IS the output sum (the outer GROUP BY keys are
+    # functionally dependent on o_orderkey), so lineitem is scanned and
+    # aggregated ONCE, then the filtered per-order totals join orders on
+    # the partitioning the agg already produced — vs the literal form's
+    # second lineitem shuffle (semi join) + re-aggregation.
+    big = li.groupBy("l_orderkey").agg(_dec_sum("l_quantity", 2, "total_qty")).where(
+        F.col("total_qty") > 250
     )
     return (
-        li.join(big, F.col("big_orderkey") == F.col("l_orderkey"), "left_semi")
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(_dec_sum("l_quantity", 2, "total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
 

@@ -57,7 +57,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- local-mode memory sanity ---
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] hosts all 32 executor threads in the driver JVM: 8g
+        # showed GC/eviction thrash once a few operators' caches
+        # accumulated (q21 measured 3x slower late in a 30-query bench
+        # than in isolation). The box has 128 GiB; on a real cluster this
+        # would be spark.executor.memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
