@@ -31,31 +31,49 @@ def asof_join(
     right_time: str,
     right_values: list[str],
     strict: bool = False,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row at-or-before its time.
+    """For each left row, attach the nearest right row at-or-before
+    (``direction="backward"``) or at-or-after (``"forward"``) its time.
 
     Args:
         on: join key column name(s); must be identically named on both sides.
         left_time / right_time: event-time columns.
         right_values: right columns to surface (must not collide with left).
-        strict: True → right_time <  left_time (strictly earlier);
-                False → right_time <= left_time, right wins ties.
+        strict: True → right strictly earlier (backward) / strictly later
+                (forward); False → ties match, right wins.
+        direction: "backward" (latest right ≤ left, the feature-store
+                point-in-time default) or "forward" (earliest right ≥ left —
+                conversion/outcome attribution).
+        tolerance_seconds: if set, matches farther than this from the left
+                time are nulled out (pandas merge_asof tolerance) — the
+                match still costs one window pass; tolerance is a post-hoc
+                null, not a second join.
 
-    Left rows with no earlier right row get NULLs (left-outer semantics),
+    Left rows with no matching right row get NULLs (left-outer semantics),
     mirroring the reference's missing-key default path
     (/root/reference/core/inference.py:121-126).
+
+    Cost is identical in both directions: one hash shuffle + in-partition
+    sort (the forward scan just orders time descending).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     collisions = set(right_values) & set(left.columns)
     if collisions:
         raise ValueError(f"right_values collide with left columns: {sorted(collisions)}")
 
-    # At equal times: strict → left sorts first (right row NOT visible);
-    # non-strict → right sorts first (right row visible).
+    # At equal times: strict → left sorts first in scan order (right row
+    # NOT yet visible); non-strict → right sorts first (visible).
     l_ord, r_ord = (0, 1) if strict else (1, 0)
 
     payload_t = right.select(
-        F.struct(*[F.col(c).alias(c) for c in right_values]).alias("__rv")
+        F.struct(
+            F.col(right_time).alias("__rt"),
+            *[F.col(c).alias(c) for c in right_values],
+        ).alias("__rv")
     ).schema["__rv"].dataType
     ltypes = {f.name: f.dataType for f in left.schema.fields}
 
@@ -73,13 +91,17 @@ def asof_join(
         ],
         F.col(right_time).alias("__t"),
         F.lit(r_ord).alias("__ord"),
-        F.struct(*[F.col(c).alias(c) for c in right_values]).alias("__rv"),
+        F.struct(
+            F.col(right_time).alias("__rt"),
+            *[F.col(c).alias(c) for c in right_values],
+        ).alias("__rv"),
         F.lit(0).alias("__is_left"),
     )
 
+    time_ord = F.col("__t") if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__t", "__ord")
+        .orderBy(time_ord, "__ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -87,6 +109,14 @@ def asof_join(
         .withColumn("__match", F.last("__rv", ignorenulls=True).over(w))
         .where(F.col("__is_left") == 1)
     )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("__t").cast("double") - F.col("__match.__rt").cast("double")
+        )
+        matched = matched.withColumn(
+            "__match",
+            F.when(gap <= F.lit(float(tolerance_seconds)), F.col("__match")),
+        )
     return matched.select(
         *left.columns,
         *[F.col(f"__match.{c}").alias(c) for c in right_values],

@@ -526,3 +526,72 @@ def q109_group_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") / F.col("cust_total"), 6).alias("spend_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q113 — forward as-of with tolerance (conversion attribution): for every
+# click event, the NEXT purchase by the same user within 7 days, plus the
+# conversion lag. Same merge-scan as the backward as-of (q15) with the
+# time order reversed — one hash shuffle on user_id, no range cross-join;
+# the tolerance is a post-hoc null, not a second join. Lags are exact
+# integer microseconds, so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "q113_conversion_asof",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, 1 AS ord, event_id AS click_id,
+             NULL::BIGINT AS purchase_id, 1 AS is_left
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, 0 AS ord, NULL, event_id, 0
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT *,
+             last_value(purchase_id IGNORE NULLS) OVER w AS matched_pid,
+             last_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
+               OVER w AS matched_pts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT click_id, user_id, ts AS click_ts,
+           CASE WHEN matched_pts IS NOT NULL
+                 AND epoch_us(matched_pts) - epoch_us(ts) <= 604800000000
+                THEN matched_pid END AS purchase_id,
+           CASE WHEN matched_pts IS NOT NULL
+                 AND epoch_us(matched_pts) - epoch_us(ts) <= 604800000000
+                THEN epoch_us(matched_pts) - epoch_us(ts) END AS lag_us
+    FROM m WHERE is_left = 1
+    """,
+    doc="next purchase within 7 days of each click (forward as-of + tolerance)",
+    tags=("asof", "window", "attribution"),
+)
+def q113_conversion_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="click_ts",
+        right_time="p_ts",
+        right_values=["purchase_id", "p_ts"],
+        direction="forward",
+        tolerance_seconds=7 * 86400,
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
