@@ -41,6 +41,46 @@ def test_asof_key_isolation(spark):
     assert asof_join(left, right, "k", "t", "rt", ["v"]).collect()[0].v is None
 
 
+def test_asof_forward_picks_earliest_later_row(spark):
+    left = spark.createDataFrame([(1, ts(5), "L1")], "k long, t timestamp, lbl string")
+    right = spark.createDataFrame(
+        [(1, ts(3), 1.0), (1, ts(7), 2.0), (1, ts(9), 3.0)],
+        "k long, rt timestamp, v double",
+    )
+    fwd = asof_join(left, right, "k", "t", "rt", ["v"], direction="forward").collect()[0]
+    assert fwd.v == 2.0  # earliest at-or-after, not the latest
+
+    # strict forward on an equal timestamp skips the tie
+    right_tie = spark.createDataFrame(
+        [(1, ts(5), 10.0), (1, ts(8), 20.0)], "k long, rt timestamp, v double"
+    )
+    tie = asof_join(left, right_tie, "k", "t", "rt", ["v"], direction="forward").collect()[0]
+    tie_strict = asof_join(
+        left, right_tie, "k", "t", "rt", ["v"], direction="forward", strict=True
+    ).collect()[0]
+    assert tie.v == 10.0
+    assert tie_strict.v == 20.0
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame([(1, ts(12), "L1")], "k long, t timestamp, lbl string")
+    right = spark.createDataFrame([(1, ts(5), 1.0)], "k long, rt timestamp, v double")
+    within = asof_join(
+        left, right, "k", "t", "rt", ["v"], tolerance_seconds=8 * 3600
+    ).collect()[0]
+    stale = asof_join(
+        left, right, "k", "t", "rt", ["v"], tolerance_seconds=6 * 3600
+    ).collect()[0]
+    assert within.v == 1.0  # 7h gap <= 8h tolerance
+    assert stale.v is None  # 7h gap > 6h tolerance -> nulled, row kept
+
+
+def test_asof_rejects_bad_direction(spark):
+    left = spark.createDataFrame([(1, ts(1), "x")], "k long, t timestamp, lbl string")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left.selectExpr("k", "t as rt", "lbl as v"), "k", "t", "rt", ["q"], direction="sideways")
+
+
 def test_asof_rejects_column_collisions(spark):
     left = spark.createDataFrame([(1, ts(1), 2.0)], "k long, t timestamp, v double")
     right = spark.createDataFrame([(1, ts(1), 3.0)], "k long, rt timestamp, v double")
