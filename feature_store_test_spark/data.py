@@ -126,10 +126,29 @@ TABLE_NAMES = list(SCHEMAS)
 
 @functools.lru_cache(maxsize=None)
 def _events_ts_is_nanos(path: str) -> bool:
-    """True when the events file stores ``ts`` as TIMESTAMP(NANOS)."""
+    """True when the events table stores ``ts`` as INT64 TIMESTAMP(NANOS)
+    — the one physical layout Spark cannot read as a native timestamp.
+
+    Checks the PHYSICAL parquet type, not the arrow view: pyarrow reports
+    legacy INT96 timestamps as ``timestamp[ns]`` too, but Spark reads
+    INT96 natively, so only INT64-nanos needs the long+div1000 path.
+    Accepts either a single parquet file (the driver's layout) or a
+    Spark-written directory of part files (one footer is representative —
+    a single writer produced them all).
+    """
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
-    return str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return False
+        path = parts[0]
+    sch = pq.ParquetFile(path).schema
+    col = sch.column(sch.names.index("ts"))
+    return col.physical_type == "INT64" and "nanoseconds" in str(col.logical_type)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

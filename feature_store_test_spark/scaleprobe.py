@@ -1,0 +1,140 @@
+"""10x scale-up probe: how does each headline query's wall time grow when
+the data grows 10x?
+
+Builds a 10x replica of sf0.1 under /tmp (each table unioned 10 times with
+key-space offsets so joins keep their fan-in: 10x the orders of 10x the
+customers, not 10 duplicate copies of the same keys), then times each
+probed query cold at 1x and at 10x and reports the growth ratio.
+
+A ratio near 1x means the query is still overhead-dominated at ~6M-row
+lineitem; near 10x means perfectly linear data-bound work; far above 10x
+flags a plan that would collapse at cluster scale (quadratic candidate
+growth, broadcast overflow, skew). Run:
+
+    python -m feature_store_test_spark.scaleprobe
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_store_test_spark.data import SCHEMAS, load_table
+
+BASE_SF = "/root/testdata/sf0.1"
+OUT_DIR = "/tmp/scale10x"
+COPIES = 10
+
+# key columns shifted per copy so the key spaces stay disjoint
+KEY_OFFSETS: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    # region/nation are dimensions: replicating them would change join
+    # semantics (every fact row would match 10 copies) — keep 1x.
+    "region": [],
+    "nation": [],
+}
+
+PROBED = [
+    "q01_pricing_summary",
+    "q05_local_supplier_volume",
+    "q08_latest_event_per_user",
+    "q15_asof_join",
+    "q16_engineer_features",
+    "q21_minhash_near_dups",
+    "q28_cosine_topk",
+    "q76_large_orders",
+    "q78_lonely_late_supplier",
+    "q87_token_budget_sample",
+    "q101_distinctive_terms",
+    "q102_decontamination",
+    "q109_group_topk_share",
+    "q110_incremental_dedup",
+    "q113_conversion_asof",
+]
+
+
+def _replicate(spark: SparkSession, name: str) -> None:
+    out = f"{OUT_DIR}/{name}.parquet"
+    if os.path.exists(out):
+        return
+    base = load_table(spark, name, BASE_SF)
+    keys = KEY_OFFSETS[name]
+    if not keys:
+        base.write.mode("overwrite").parquet(out)
+        return
+    maxes = base.agg(*[(F.max(k) + 1).alias(k) for k in keys]).collect()[0]
+    copies = [
+        base.select(
+            *[
+                (F.col(c) + F.lit(i * maxes[c]).cast("long")).alias(c)
+                if c in keys
+                else F.col(c)
+                for c in base.columns
+            ]
+        )
+        for i in range(COPIES)
+    ]
+    out_df: DataFrame = copies[0]
+    for c in copies[1:]:
+        out_df = out_df.unionByName(c)
+    out_df.write.mode("overwrite").parquet(out)
+
+
+def main() -> None:
+    from feature_store_test_spark.registry import all_queries
+    from feature_store_test_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="fsts-scaleprobe",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "16m",
+            "spark.sql.files.openCostInBytes": "512k",
+        },
+    )
+    for name in SCHEMAS:
+        _replicate(spark, name)
+
+    specs = all_queries()
+    report: dict[str, dict[str, float]] = {}
+    for name in PROBED:
+        fn = specs[name].fn
+        # one warmup (plan/codegen) at the smallest SF, then cold-cache
+        # single runs at 1x and 10x — the same protocol bench.py uses
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times = {}
+        for label, d in [("x1", BASE_SF), ("x10", OUT_DIR)]:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            times[label] = round(time.perf_counter() - t0, 3)
+        times["ratio"] = round(times["x10"] / times["x1"], 2)
+        report[name] = times
+        print(json.dumps({name: times}))
+    total1 = sum(v["x1"] for v in report.values())
+    total10 = sum(v["x10"] for v in report.values())
+    print(
+        json.dumps(
+            {
+                "total_x1_sec": round(total1, 2),
+                "total_x10_sec": round(total10, 2),
+                "total_ratio": round(total10 / total1, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write µs timestamps (INT64), not deprecated INT96 — keeps our own
+        # parquet output readable with declared TimestampType schemas
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # --- optimizer / execution ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
