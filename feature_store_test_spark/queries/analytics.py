@@ -595,3 +595,62 @@ def q113_conversion_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q114 — full-outer reconciliation: daily click activity vs daily purchase
+# activity, keeping days that appear on only one side (the audit shape for
+# comparing two event feeds / pipeline stages). FULL OUTER is the one join
+# type no other declared query exercises. Scale: both sides pre-aggregate
+# to one row per day BEFORE the join — the full-outer join runs on two
+# tiny keyed aggregates, never on raw events.
+# ---------------------------------------------------------------------------
+@register(
+    "q114_full_outer_reconciliation",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_clicks,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT COALESCE(c.day, p.day) AS day,
+           COALESCE(n_clicks, 0) AS n_clicks,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(click_value, 0.0) AS click_value,
+           COALESCE(purchase_value, 0.0) AS purchase_value
+    FROM c FULL JOIN p ON c.day = p.day
+    """,
+    doc="daily click vs purchase reconciliation via FULL OUTER join",
+    tags=("join", "full-outer", "agg", "audit"),
+)
+def q114_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    day = F.to_date("ts").alias("day")
+
+    def side(event_type: str, n_name: str, v_name: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == event_type)
+            .groupBy(day)
+            .agg(
+                F.count(F.lit(1)).alias(n_name),
+                dec_sum("value", 2, v_name),
+            )
+        )
+
+    c = side("click", "n_clicks", "click_value")
+    p = side("purchase", "n_purchases", "purchase_value")
+    return (
+        c.join(p, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("click_value", F.lit(0.0)).alias("click_value"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+    )
