@@ -169,3 +169,46 @@ def test_q105_small_parents_broadcast_anti_joins(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "LeftAnti" in plan
     assert "Python" not in plan
+
+
+def test_q76_scans_lineitem_once(spark, sf_dir):
+    """Q18-shape decorrelation: the qualifying sum IS the output sum, so
+    lineitem must appear exactly once in the plan (no second shuffle +
+    re-aggregation through a semi join)."""
+    plan = plan_of(spark, sf_dir, "q76_large_orders")
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_q78_existentials_are_window_counts(spark, sf_dir):
+    """Q21-shape EXISTS/NOT EXISTS must run as per-order window counts on
+    the join+agg's own partitioning — no semi/anti self-joins, lineitem
+    read once."""
+    plan = plan_of(spark, sf_dir, "q78_lonely_late_supplier")
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_q109_windows_share_one_exchange(spark, sf_dir):
+    """Ranking window and group-total window both partition by o_custkey —
+    the plan must reuse that single hash exchange."""
+    plan = plan_of(spark, sf_dir, "q109_group_topk_share")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q113_forward_asof_single_shuffle_no_python(spark, sf_dir):
+    """Forward as-of = union + one window over user_id; there must be no
+    join operator at all (merge-scan, not range join) and no Python."""
+    plan = plan_of(spark, sf_dir, "q113_conversion_asof")
+    assert "Join" not in plan.replace("AdaptiveSparkPlan", "")
+    assert "Window" in plan and "Python" not in plan
+
+
+def test_q114_full_outer_joins_pre_aggregated_sides(spark, sf_dir):
+    """Reconciliation joins two per-day aggregates: the full-outer join's
+    inputs must already be HashAggregates, never raw event scans."""
+    plan = plan_of(spark, sf_dir, "q114_full_outer_reconciliation")
+    assert "FullOuter" in plan
+    # aggregation happens below the join: 2 partial+2 final aggregates
+    assert plan.count("HashAggregate") >= 4
