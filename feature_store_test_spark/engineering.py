@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from feature_store_test_spark.functions import dec_sum
+
 
 def engineer_features(
     df: DataFrame,
@@ -42,7 +44,7 @@ def engineer_features(
     aggs = [F.max(event_time).alias(event_time)]
     for v in value_cols:
         aggs.append(F.max_by(F.col(v), order).alias(f"latest_{v}"))
-        avg = F.sum(F.col(v).cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))
+        avg = dec_sum(v, 2) / F.count(F.lit(1))
         if avg_round_dp is not None:
             avg = F.round(avg, avg_round_dp)
         aggs.append(avg.alias(f"avg_{v}"))
