@@ -98,3 +98,62 @@ def test_asof_join_matches_naive(spark, left, right, strict):
         strict,
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------- 3
+def naive_asof_fwd(left_rows, right_rows, strict, tol_s):
+    out = []
+    for k, t, lbl in left_rows:
+        best = None
+        for rk, rt, v in right_rows:
+            if rk != k:
+                continue
+            if (rt > t) if strict else (rt >= t):
+                if best is None or rt < best[0]:
+                    best = (rt, v)
+        if best is not None and tol_s is not None and (best[0] - t).total_seconds() > tol_s:
+            best = None
+        out.append((k, t, lbl, best[1] if best else None))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2]))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(event, min_size=1, max_size=12),
+    right=st.lists(event, min_size=0, max_size=12),
+    strict=st.booleans(),
+    tol_hours=st.one_of(st.none(), st.integers(min_value=0, max_value=30)),
+)
+def test_forward_asof_with_tolerance_matches_naive(spark, left, right, strict, tol_hours):
+    from feature_store_test_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(k, base + dt.timedelta(hours=t), f"L{i}") for i, (k, t, _) in enumerate(left)]
+    seen = {}
+    for k, t, v in right:
+        seen[(k, t)] = max(seen.get((k, t), -1), v)
+    # forward ties pick the payload the scan sees LAST in descending time
+    # order — for unique (k, time) rows the match is unambiguous
+    rrows = [(k, base + dt.timedelta(hours=t), float(v)) for (k, t), v in seen.items()]
+    tol_s = None if tol_hours is None else tol_hours * 3600.0
+
+    ldf = spark.createDataFrame(lrows, "k long, t timestamp, lbl string")
+    rdf = spark.createDataFrame(
+        rrows or [(99, base, 0.0)], "k long, rt timestamp, v double"
+    )
+    got = sorted(
+        (
+            (r.k, r.t, r.lbl, r.v)
+            for r in asof_join(
+                ldf, rdf, "k", "t", "rt", ["v"],
+                strict=strict, direction="forward", tolerance_seconds=tol_s,
+            ).collect()
+        ),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+    want = naive_asof_fwd(lrows, rrows if rrows else [(99, base, 0.0)], strict, tol_s)
+    assert got == want
