@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
 from feature_store_test_spark.functions import md5_bucket
+from feature_store_test_spark.operators import text as Tx
 from feature_store_test_spark.registry import register
 
 
@@ -493,4 +494,59 @@ def q108_stratified_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q115 — leakage-safe split: q79 splits individual docs, which lets two
+# near-copies land in train AND test (evaluation leakage). Here the split
+# unit is the DUPLICATE GROUP: docs sharing a head-5-word fingerprint form
+# a group, the group representative is its min doc_id, and the whole group
+# follows md5(representative) into train/val/test. By construction no
+# fingerprint group spans splits. Scale: one (fp → min doc_id) agg, then
+# the assignment joins back on fp — the same shuffle key; group bodies
+# never move, only (fp, rep) pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "q115_leakage_safe_split",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+      FROM documents
+    ),
+    rep AS (SELECT fp, MIN(doc_id) AS rep_id FROM fp GROUP BY fp),
+    assigned AS (
+      SELECT f.doc_id, f.n_chars, f.fp,
+             CASE WHEN substr(md5(CAST(r.rep_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(r.rep_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM fp f JOIN rep r USING (fp)
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_groups,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned
+    GROUP BY split
+    """,
+    doc="dedup-group-level train/val/test split (no near-dup group spans splits)",
+    tags=("pipeline", "split", "dedup", "leakage"),
+)
+def q115_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "n_chars", Tx.prefix_fingerprint("text", 5).alias("fp")
+    )
+    rep = docs.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    h = md5_bucket("rep_id")
+    split = F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+    return (
+        docs.join(rep, "fp")
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_groups"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
     )
