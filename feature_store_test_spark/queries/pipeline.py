@@ -550,3 +550,48 @@ def q115_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q116 — deterministic weighted sampling (integer A-Res variant): every doc
+# gets priority = h60 // weight where h60 is a 60-bit md5 prefix and the
+# weight is its length in chars; the global sample is the k smallest
+# priorities. Longer docs get proportionally smaller priorities, i.e.
+# higher inclusion odds — the Efraimidis-Spirakis reservoir shape, but in
+# pure integer arithmetic so Spark and DuckDB produce the identical
+# sample (float pow/log priorities would diverge between libm builds).
+# Scale: priority is a per-row map-side expression; the global top-k is
+# TakeOrderedAndProject (per-partition k, then merge k·partitions rows) —
+# no sort of the corpus, no shuffle of doc bodies.
+# ---------------------------------------------------------------------------
+@register(
+    "q116_weighted_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             // n_chars AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT 20
+    """,
+    doc="deterministic length-weighted sample of 20 docs (integer reservoir priorities)",
+    tags=("pipeline", "sampling", "topk"),
+)
+def q116_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        docs.select("doc_id", "source", "n_chars", h60.alias("__h"))
+        # `div`, not `/`: 60-bit values exceed double precision (2^53), so
+        # float division could truncate differently than DuckDB's exact //
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr("__h div n_chars").alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(20)
+    )
