@@ -228,3 +228,63 @@ def q101_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df")
         .orderBy("doc_id", "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q117 — the curation funnel composed end-to-end in ONE declared plan:
+# quality-gate (q25's composite >= 0.6) → exact dedup keep-first within
+# the survivors (q20's head-5 fingerprint, min doc_id wins) → per-language
+# yield report with stage-by-stage counts. This is the shape of a real
+# pretraining curation job; Catalyst fuses the whole funnel into two
+# aggregations (fingerprint reduce, language report) over one scan —
+# composition costs no extra passes.
+# ---------------------------------------------------------------------------
+@register(
+    "q117_curation_funnel",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp,
+             ROUND(
+               0.5 * LEAST(len(string_split(text,' ')) / 50.0, 1.0)
+             + 0.5 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                      / len(string_split(text,' ')))
+             - 0.25 * ROUND(CAST(len(list_filter(string_split(text,' '),
+                        w -> w IN ('the','a','fast','data','table','row','join','group','sort')))
+                        AS DOUBLE) / len(string_split(text,' ')), 6)
+             , 6) AS quality
+      FROM documents
+    ),
+    gated AS (SELECT * FROM scored WHERE quality >= 0.6),
+    kept AS (
+      SELECT fp, MIN(doc_id) AS keep_id FROM gated GROUP BY fp
+    ),
+    keepers AS (
+      SELECT g.lang, g.n_chars
+      FROM gated g JOIN kept k ON g.doc_id = k.keep_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM keepers
+    GROUP BY lang
+    """,
+    doc="curation funnel: quality gate -> exact dedup keep-first -> per-lang yield",
+    tags=("text", "dedup", "pipeline", "funnel"),
+)
+def q117_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        Tx.prefix_fingerprint("text", 5).alias("fp"),
+        Tx.quality_score("text").alias("quality"),
+    )
+    gated = scored.where(F.col("quality") >= 0.6)
+    kept = gated.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    keepers = gated.join(kept, gated.doc_id == kept.keep_id, "left_semi")
+    return keepers.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
