@@ -132,11 +132,14 @@ def main() -> None:
     n_events = duckdb.sql(
         f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet')"
     ).fetchone()[0]
-    t0 = time.perf_counter()
-    specs["q16_engineer_features"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    spark_fe_sec = time.perf_counter() - t0
+    fe_runs = []
+    for _ in range(2):  # min-of-two, same rationale as the query loop
+        t0 = time.perf_counter()
+        specs["q16_engineer_features"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        fe_runs.append(time.perf_counter() - t0)
+    spark_fe_sec = min(fe_runs)
 
     import pandas as pd  # noqa: F401
 
