@@ -214,17 +214,19 @@ def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q40_sessionize",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL '30 minutes' OR
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 OR
                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ),
     sess AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
@@ -238,14 +240,17 @@ def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "streaming", "agg"),
 )
 def q40_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap compare in integer epoch-microseconds (exact; second-truncation
+    # would merge sessions the oracle's interval compare splits), and BOTH
+    # window passes order by (ts, event_id) — a total order per partition,
+    # so session assignment is engine- and shuffle-independent even when
+    # two events share a timestamp.
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
     flagged = ev.select(
-        "user_id", "ts", "value",
-        F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
-            1,
-        )
+        "user_id", "ts", "value", "event_id",
+        F.when(us - F.lag(us).over(w) > 1_800_000_000, 1)
         .when(F.lag("ts").over(w).isNull(), 1)
         .otherwise(0)
         .alias("new_session"),
@@ -253,8 +258,7 @@ def q40_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = flagged.withColumn(
         "session_id",
         F.sum("new_session").over(
-            Window.partitionBy("user_id").orderBy("ts")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
     return sess.groupBy("user_id", "session_id").agg(
@@ -592,10 +596,10 @@ def q50_prefix_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT COUNT(*) AS n,
-        SUM(CASE WHEN NOT COALESCE(value IS NOT NULL AND value >= 0, FALSE) THEN 1 ELSE 0 END) AS value_non_negative,
-        SUM(CASE WHEN NOT COALESCE(event_type IN ('click','error','purchase','signup','view'), FALSE) THEN 1 ELSE 0 END) AS known_event_type,
-        SUM(CASE WHEN NOT COALESCE(ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00', FALSE) THEN 1 ELSE 0 END) AS ts_in_january,
-        SUM(CASE WHEN NOT COALESCE(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) BETWEEN 0 AND 100, FALSE) THEN 1 ELSE 0 END) AS props_k_in_range
+        CAST(SUM(CASE WHEN NOT COALESCE(value IS NOT NULL AND value >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS value_non_negative,
+        CAST(SUM(CASE WHEN NOT COALESCE(event_type IN ('click','error','purchase','signup','view'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS known_event_type,
+        CAST(SUM(CASE WHEN NOT COALESCE(ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS ts_in_january,
+        CAST(SUM(CASE WHEN NOT COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 0 AND 100, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS props_k_in_range
       FROM events
     )
     SELECT 'value_non_negative' AS rule, value_non_negative AS n_violations,

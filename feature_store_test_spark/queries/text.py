@@ -104,7 +104,7 @@ def q24_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS n_good,
+           CAST(SUM(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
            ROUND(AVG(quality), 6) AS avg_quality
     FROM q GROUP BY source
     """,
@@ -129,7 +129,7 @@ def q25_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS total_tokens,
            ROUND(CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS DOUBLE)
                  / COUNT(*), 6) AS avg_tokens_per_doc
     FROM documents

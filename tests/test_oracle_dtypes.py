@@ -1,0 +1,97 @@
+"""Driver-gate dtype parity: Spark schema vs DuckDB-through-pandas dtypes.
+
+Round 1 lesson: the local comparator fetches oracle rows via ``fetchall()``
+(DuckDB HUGEINT -> Python int, compares equal to Spark's long), but the
+driver's gate goes through pandas, where HUGEINT becomes float64 — so an
+oracle emitting an uncast integer ``SUM`` hash-mismatches in the driver
+while staying green locally (q40/q51 in CORRECTNESS_r01). This test closes
+that gap structurally: for every registered oracle, the DuckDB result's
+pandas dtype kind must agree with the Spark plan's schema on numeric/bool
+columns. Plan-only on the Spark side and LIMIT 0 on the DuckDB side, so
+the whole sweep is seconds, not minutes.
+
+date-vs-datetime64 differences are exempt: DuckDB DATE converts to pandas
+datetime64 while Spark DateType converts to datetime.date objects, and the
+driver's normalization provably treats those as equal (q82/q92/q93/q94/q114
+were driver-green in round 1 with exactly that shape).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from feature_store_test_spark.oracle import duckdb_connection
+from feature_store_test_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _spark_kind(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if s in ("float", "double") or s.startswith("decimal"):
+        return "f"
+    if s == "boolean":
+        return "b"
+    return "other"
+
+
+def _duck_kind(dtype) -> str:
+    k = dtype.kind
+    if k in ("i", "u"):
+        return "i"
+    if k == "f":
+        return "f"
+    if k == "b":
+        return "b"
+    return "other"
+
+
+def test_numeric_dtypes_survive_pandas(spark):
+    con = duckdb_connection(SF_DIR)
+    specs = all_queries()
+    bad: list[tuple[str, str, str, str]] = []
+    for name, spec in specs.items():
+        if spec.oracle is None:
+            continue
+        sdf = spec.fn(spark, SF_DIR)  # plan only — never executed
+        s_types = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+        rel = con.sql("SELECT * FROM (" + spec.oracle + ") LIMIT 0")
+        o_dtypes = rel.df().dtypes
+        for col, duck_dtype in zip(rel.columns, o_dtypes):
+            sk = s_types.get(col)
+            ok = _duck_kind(duck_dtype)
+            if sk in ("i", "f", "b") or ok in ("i", "f", "b"):
+                if sk != ok:
+                    bad.append((name, col, str(sk), str(duck_dtype)))
+    assert not bad, (
+        "oracle columns whose pandas dtype diverges from the Spark schema "
+        "(uncast HUGEINT SUM? int-vs-float?): " + repr(bad)
+    )
+
+
+@pytest.mark.parametrize("name", ["q40_sessionize", "q51_data_quality"])
+def test_round1_red_queries_match_via_pandas(spark, name):
+    """The two round-1 driver reds, compared through the pandas path."""
+    import pandas as pd
+
+    spec = all_queries()[name]
+    con = duckdb_connection(SF_DIR)
+    sdf = spec.fn(spark, SF_DIR).toPandas()
+    odf = con.execute(spec.oracle).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    cols = sorted(sdf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        sc, oc = s[c], o[c]
+        if str(sc.dtype).startswith("datetime") or str(oc.dtype).startswith(
+            "datetime"
+        ):
+            sc = pd.to_datetime(sc).astype("datetime64[us]")
+            oc = pd.to_datetime(oc).astype("datetime64[us]")
+        assert sc.dtype.kind == oc.dtype.kind, (name, c, sc.dtype, oc.dtype)
+        pd.testing.assert_series_equal(
+            sc, oc, check_names=False, check_dtype=False
+        )
