@@ -3,28 +3,141 @@
 Design for 100 TB:
 - Exact dedup: hash-groupBy on a fingerprint column — one shuffle of
   (fingerprint, doc_id), never of document bodies.
-- MinHash+LSH: shingle → k minhashes → b bands → bucket self-join. The
-  self-join happens on *band buckets*, so candidate generation is linear in
-  bucket sizes instead of O(n²); verification runs only on candidate pairs.
-- All hashing is md5-based (seeded by prefix concatenation) so signatures
-  are deterministic and identical across engines — minhash takes the
-  lexicographic MIN of hex digests, which is order-free and
-  shuffle-insensitive.
+- MinHash+LSH: shingle → k minhashes → b bands → bucket group-expand.
+  Candidate generation is linear in bucket sizes instead of O(n²);
+  verification runs only on candidate pairs.
+- All hashing is md5-based so signatures are deterministic and identical
+  across engines — minhash takes the lexicographic MIN over digest
+  windows, which is order-free and shuffle-insensitive.
 
-Performance shape (measured at sf0.1, 5000 docs / 260k shingles):
-- the words array is materialized as a projected column BEFORE the shingle
-  transform — referencing ``split(...)`` inside a higher-order lambda
-  re-evaluates the split per element (3× per shingle ≈ 800× per doc);
-- all k minhashes aggregate in ONE groupBy(doc) pass via conditional
-  ``min(md5('<seed>|' || shingle))`` columns — no seed-explode (k× row
-  blowup), no collect_list+sort banding pass; partial (map-side) min makes
-  the shuffle k numbers per doc.
+Two physical forms, one semantics:
+- ARRAY form (default, ``shingle_array``/``minhash_near_dups``): each
+  doc's distinct shingle set stays in ONE array column. Signatures are a
+  pure projection (``array_min`` over higher-order transforms — zero
+  shuffles), and exact-Jaccard verification is ``array_intersect`` on a
+  docs-sized table instead of joins over an exploded shingles-sized
+  table. The only shuffles in the whole pipeline are the (band, bucket)
+  grouping and the final pair distinct — both over rows-per-doc, not
+  rows-per-shingle. Holds whenever one document's shingle set fits in a
+  row (LLM-corpus docs: ~KBs); measured ~2x faster than the explode form
+  at sf0.1.
+- EXPLODE form (``word_shingles``/``minhash_signatures``/
+  ``jaccard_verify``): (doc, shingle) rows + groupBy mins. Unbounded doc
+  sizes, and the shape the shingle-join queries (containment,
+  decontamination) build on.
+
+Performance gotchas this module encodes (measured at sf0.1, 5000 docs /
+260k shingles):
+- the words array is materialized as a projected column BEFORE the
+  shingle transform — referencing ``split(...)`` inside a higher-order
+  lambda re-evaluates the split per element (3× per shingle ≈ 800× per
+  doc);
+- never FILTER on the built shingle array (``where(size(arr) > 0)``):
+  predicate pushdown substitutes the whole array expression into the
+  filter and re-evaluates the transform per row — measured 7x slower
+  than prefiltering on word count (``shingle_array`` does the latter);
+- the md5 array is materialized as its own projected column so the k
+  window transforms share one digest per shingle (CollapseProject keeps
+  multi-referenced non-cheap aliases unmerged);
+- higher-order lambdas run interpreted (no whole-stage codegen), so the
+  md5+window projection (~0.7s per 260k shingles, measured equal in the
+  explode/codegen form) is the array pipeline's intrinsic floor.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def shingle_array(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out: str = "shingles"
+) -> DataFrame:
+    """Distinct n-word shingles per doc as ONE array column (no explode).
+
+    Docs shorter than n words are dropped — they have no shingles, and
+    keeping them would give every one a NULL/empty signature that LSH
+    would bucket together. The word-count prefilter runs BEFORE the
+    shingle projection (see module docstring on the pushdown trap).
+    """
+    w = F.col("__w")
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w")).where(
+        F.size(w) >= n
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+    return base.select(F.col(id_col), F.array_distinct(shingles).alias(out))
+
+
+def minhash_signatures_arrays(
+    arr_df: DataFrame,
+    id_col: str,
+    arr_col: str = "shingles",
+    k: int = 8,
+    keep_arr: bool = False,
+) -> DataFrame:
+    """k min-window signature columns from an array-of-shingles table.
+
+    Same hash family as ``minhash_signatures`` (one md5 per shingle;
+    member s = lexicographic MIN over the 15-hex window at offset
+    s * (32 // k) of the self-concatenated digest) computed as a pure
+    projection: ``array_min`` over per-element transforms — no explode,
+    no shuffle. The md5 array is a separate projected column so the k
+    window transforms share one digest evaluation per shingle.
+    """
+    if k > 32:
+        raise ValueError("array signature family supports k <= 32")
+    step = 32 // k
+    keep = [F.col(arr_col)] if keep_arr else []
+    harr = arr_df.select(
+        F.col(id_col),
+        *keep,
+        # chained transforms: md5 evaluated ONCE per element, then
+        # self-concatenated (concat(md5(x), md5(x)) would hash twice)
+        F.transform(
+            F.transform(arr_col, lambda x: F.md5(x)), lambda h: F.concat(h, h)
+        ).alias("__h2a"),
+    )
+    return harr.select(
+        F.col(id_col),
+        *keep,
+        *[
+            F.array_min(
+                F.transform("__h2a", lambda h: h.substr(step * s + 1, 15))
+            ).alias(f"mh{s}")
+            for s in range(k)
+        ],
+    )
+
+
+def jaccard_verify_arrays(
+    arr_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    arr_col: str = "shingles",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via array intersection.
+
+    Joins the (tiny) pair list against the docs-sized array table twice —
+    both joins broadcast at any realistic candidate count — and computes
+    |A∩B| per pair inside the row. No shingle-level shuffle at all.
+    """
+    aa = arr_df.select(F.col(id_col).alias("id_a"), F.col(arr_col).alias("__arr_a"))
+    bb = arr_df.select(F.col(id_col).alias("id_b"), F.col(arr_col).alias("__arr_b"))
+    inter = F.size(F.array_intersect("__arr_a", "__arr_b"))
+    # filter on the UNrounded ratio (the oracle's WHERE does too)
+    ratio = inter.cast("double") / (
+        F.size("__arr_a") + F.size("__arr_b") - inter
+    ).cast("double")
+    return (
+        pairs.join(aa, "id_a")
+        .join(bb, "id_b")
+        .where(ratio >= threshold)
+        .select("id_a", "id_b", F.round(ratio, 6).alias("jaccard"))
+    )
 
 
 def word_shingles(
@@ -55,15 +168,20 @@ def minhash_signatures(
     """Wide k-column minhash signature per doc: (id, mh0..mh{k-1}).
 
     The k-hash family is derived from ONE md5 per shingle: member s orders
-    shingles by the digest rotated left by ``s * (32 // k)`` hex chars
-    (lexicographic MIN over the rotated strings). Each rotation ranks by a
-    different digest window, giving k near-independent orderings for the
-    cost of one hash — measured ~1s faster than k seeded md5 calls per
-    shingle at sf0.1 (260k shingles), and q111 audits the estimate error
-    it produces. Rotation is plain substring concat, expressible
-    identically in DuckDB, so signatures stay engine-identical. One
-    groupBy(doc) with map-side partial min; no row blowup. Falls back to
-    per-seed salted md5 when k > 32 (not enough distinct rotations).
+    shingles by a 15-hex-char window of the digest starting at offset
+    ``s * (32 // k)`` (wrapping past the end via digest self-concat), and
+    takes the lexicographic MIN over those windows. Each window ranks by
+    60 effectively-independent digest bits, giving k near-independent
+    orderings for the cost of one hash; q111 audits the estimate error
+    the family produces. Windowing is plain substring, expressible
+    identically in DuckDB, so signatures stay engine-identical — measured
+    ~30% faster than rotating the full 32-char digest (narrower agg
+    buffers + shorter string compares), and ~4x slower than a
+    non-portable xxhash64 family would be (the price of an oracle-exact
+    contract; swap the hash family behind this function if bit-parity
+    with a second engine stops mattering). One groupBy(doc) with map-side
+    partial min; no row blowup. Falls back to per-seed salted md5 when
+    k > 32 (not enough distinct window offsets).
     """
     if k > 32:
         aggs = [
@@ -75,14 +193,9 @@ def minhash_signatures(
         return shingles.groupBy(id_col).agg(*aggs)
     step = 32 // k
     h = F.md5(F.col(shingle_col))
-    pre = shingles.select(F.col(id_col), h.alias("__h"))
+    pre = shingles.select(F.col(id_col), F.concat(h, h).alias("__h2"))
     aggs = [
-        F.min(
-            F.concat(
-                F.substring("__h", step * s + 1, 32),
-                F.substring("__h", 1, step * s),
-            )
-        ).alias(f"mh{s}")
+        F.min(F.substring("__h2", step * s + 1, 15)).alias(f"mh{s}")
         for s in range(k)
     ]
     return pre.groupBy(id_col).agg(*aggs)
@@ -91,11 +204,23 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, k: int = 8, bands: int = 4
 ) -> DataFrame:
-    """Band the k-signature into ``bands`` buckets and self-join buckets.
+    """Band the k-signature into buckets; expand pairs within each bucket.
 
     Returns distinct (id_a, id_b) with id_a < id_b. Docs agreeing on ALL
     r = k/bands minhashes of any band become candidates:
     P(candidate) = 1 - (1 - J^r)^bands.
+
+    Candidates are generated by grouping on (band, bucket) and expanding
+    ordered pairs from each bucket's sorted member list, NOT by
+    self-joining the banded table: the self-join evaluates the whole
+    signature pipeline for both sides (or needs a cache barrier to
+    avoid it, which round-1 measurements showed colliding badly with
+    cache-clearing callers — 2-4x swings), while the group-expand form
+    consumes the signatures exactly once and costs one shuffle. Work is
+    C(bucket_size, 2) per bucket either way — linear in bucket sizes,
+    never all-pairs; a pathological bucket (thousands of identical docs)
+    degrades both forms identically, and exact-dedup upstream is the
+    real mitigation.
     """
     r = k // bands
     band_entries = [
@@ -108,22 +233,24 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_entries)).alias("e")
     ).select(id_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
-    # cache: the self-join would otherwise recompute the full signature
-    # aggregation for BOTH sides (banded is bands×n_docs tiny rows)
-    banded = banded.cache()
-    a = banded.alias("a")
-    b = banded.alias("b")
+    ids = F.col("ids")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .where(F.size(ids) > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -172,21 +299,24 @@ def minhash_near_dups(
     k: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
-    cache_shingles: bool = False,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH → exact verify.
 
-    The shingle table feeds three consumers (signatures + both verify
-    sides). For a SINGLE cold run, recomputing the explode per consumer is
-    measured ~30% faster than materializing it (3.4s → 2.4s at sf0.1) —
-    the stages pipeline, nothing blocks on a cache build. Pass
-    ``cache_shingles=True`` when the pipeline output is consumed
-    repeatedly in one session; at 100 TB you would persist the shingle
-    table to storage instead (the streaming dedup path does exactly that).
+    ARRAY form (module docstring): the per-doc shingle-set table feeds
+    two consumers (signatures + verification), so it is persisted once
+    (MEMORY_AND_DISK — docs-sized rows, spills instead of OOM). The
+    pipeline's only shuffles are the (band, bucket) grouping and the
+    pair distinct. Pass ``cache_shingles=False`` when the caller already
+    persists the input or runs the pipeline once on a small corpus; for
+    unbounded individual document sizes, compose the EXPLODE-form
+    primitives instead.
     """
-    sh = word_shingles(df, id_col, text_col, n=n)
+    arr = shingle_array(df, id_col, text_col, n=n)
     if cache_shingles:
-        sh = sh.cache()
-    sigs = minhash_signatures(sh, id_col, k=k)
+        from pyspark import StorageLevel
+
+        arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures_arrays(arr, id_col, k=k)
     pairs = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands)
-    return jaccard_verify(sh, pairs, id_col, threshold=threshold)
+    return jaccard_verify_arrays(arr, pairs, id_col, threshold=threshold)

@@ -16,8 +16,8 @@ from feature_store_test_spark.operators import text as Tx
 from feature_store_test_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_near_dups,
-    minhash_signatures,
-    word_shingles,
+    minhash_signatures_arrays,
+    shingle_array,
 )
 from feature_store_test_spark.registry import register
 
@@ -98,11 +98,11 @@ _JACCARD_T = 0.5
     ),
     hashed AS (SELECT doc_id, md5(shingle) AS h FROM shingles),
     hashes AS (
-      -- k-hash family = one md5, rotated by 32//k hex chars per member
-      -- (must stay in lockstep with operators/dedup.py minhash_signatures)
+      -- k-hash family = one md5, member s = the 15-hex window of the
+      -- digest at offset s * (32//k), wrapping via self-concat (must stay
+      -- in lockstep with operators/dedup.py minhash_signatures)
       SELECT doc_id, seed,
-             MIN(substr(h, {32 // _MINHASH_K} * seed + 1, 32)
-                 || substr(h, 1, {32 // _MINHASH_K} * seed)) AS minhash
+             MIN(substr(h || h, {32 // _MINHASH_K} * seed + 1, 15)) AS minhash
       FROM hashed, unnest(generate_series(0, {_MINHASH_K - 1})) AS s(seed)
       GROUP BY doc_id, seed
     ),
@@ -475,11 +475,11 @@ def q110_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hashed AS (SELECT doc_id, md5(shingle) AS h FROM shingles),
     hashes AS (
-      -- k-hash family = one md5, rotated by 32//k hex chars per member
-      -- (must stay in lockstep with operators/dedup.py minhash_signatures)
+      -- k-hash family = one md5, member s = the 15-hex window of the
+      -- digest at offset s * (32//k), wrapping via self-concat (must stay
+      -- in lockstep with operators/dedup.py minhash_signatures)
       SELECT doc_id, seed,
-             MIN(substr(h, {32 // _MINHASH_K} * seed + 1, 32)
-                 || substr(h, 1, {32 // _MINHASH_K} * seed)) AS minhash
+             MIN(substr(h || h, {32 // _MINHASH_K} * seed + 1, 15)) AS minhash
       FROM hashed, unnest(generate_series(0, {_MINHASH_K - 1})) AS s(seed)
       GROUP BY doc_id, seed
     ),
@@ -531,53 +531,55 @@ def q110_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     k = _MINHASH_K
-    # signatures are k short strings per doc and feed three consumers
-    # (banding + both estimate sides) — cache them; the much larger
-    # shingle table pipelines faster recomputed than materialized (see
-    # minhash_near_dups)
-    sh = word_shingles(docs, "doc_id", "text", n=3)
-    sigs = minhash_signatures(sh, "doc_id", k=k).cache()
+    # ARRAY form (operators/dedup.py module docstring): one docs-sized
+    # table carries both the shingle set and the k signature columns, and
+    # feeds every consumer (banding, both estimate sides, both exact
+    # sides) — persist it once. Estimate = signature-slot agreement;
+    # exact = array_intersect inside the joined pair row. Zero
+    # shingle-level shuffles.
+    from pyspark import StorageLevel
+
+    arr = shingle_array(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures_arrays(arr, "doc_id", k=k, keep_arr=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=k, bands=_MINHASH_BANDS)
     sa = sigs.select(
-        F.col("doc_id").alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)]
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("arr_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)],
     )
     sb = sigs.select(
-        F.col("doc_id").alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)]
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("arr_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)],
     )
     agree = sum(
         F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)
     )
-    est = (
+    # exact Jaccard UNrounded until the final select (rounding earlier
+    # would bias abs_err at rounding boundaries); array_intersect yields
+    # 0 for disjoint pairs, matching the oracle's LEFT JOIN + COALESCE.
+    i = F.size(F.array_intersect("arr_a", "arr_b"))
+    exact_raw = i.cast("double") / (
+        F.size("arr_a") + F.size("arr_b") - i
+    ).cast("double")
+    return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", (agree.cast("double") / k).alias("est_jaccard"))
-    )
-    # exact Jaccard inline and UNrounded (jaccard_verify rounds, which
-    # would bias abs_err at rounding boundaries); LEFT JOIN keeps
-    # zero-intersection candidates, mirroring the oracle's COALESCE.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa_sh = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb_sh = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        pairs.join(sa_sh, "id_a")
-        .join(sb_sh, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    i0 = F.coalesce(F.col("i"), F.lit(0)).cast("double")
-    exact_ratio = i0 / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("i"), F.lit(0)))
-    exact = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(za, "id_a")
-        .join(zb, "id_b")
-        .select("id_a", "id_b", exact_ratio.alias("exact_raw"))
-    )
-    return est.join(exact, ["id_a", "id_b"]).select(
-        "id_a",
-        "id_b",
-        F.round("est_jaccard", 6).alias("est_jaccard"),
-        F.round("exact_raw", 6).alias("exact_jaccard"),
-        F.round(F.abs(F.col("est_jaccard") - F.col("exact_raw")), 6).alias("abs_err"),
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / k).alias("est_jaccard"),
+            exact_raw.alias("exact_raw"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            F.round("exact_raw", 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_raw")), 6).alias(
+                "abs_err"
+            ),
+        )
     )
