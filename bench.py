@@ -1,11 +1,24 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (kept well under the driver's stdout tail
+capture — round 1 lost the parsed result to truncation):
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+     "queries": {name: sec, ...}, "duckdb_total_sec": N,
+     "scale10x": {...}, "throughput": {...}, "sf": <sf>}
+
+Per-query DuckDB timings and the full 10x-scale per-query breakdown go to
+BENCH_SELF.json next to this file instead of stdout.
+
+The scale10x block is the number that matters for the 100 TB story: at
+sf0.1 most headline queries sit on Spark's ~0.2-0.3s per-job floor, so
+same-SF ratios vs an embedded single-node engine measure fixed overhead,
+not plan quality. The 10x point (scaleprobe replica, ~6M-row lineitem)
+amortizes the floor and shows how both engines' totals actually grow.
 
 Each query executes fully via the noop sink (no driver-side collect cost for
 large result sets); per-query wall time includes planning + execution.
+
+Skip the 10x block with SPARK_GRAFT_BENCH_SCALE=0 (e.g. quick local loops).
 """
 
 from __future__ import annotations
@@ -68,6 +81,15 @@ def main() -> None:
     )
     specs = all_queries()
 
+    # build (or reuse) the 10x replica BEFORE any timing so its write jobs
+    # and their garbage never land inside a measured window
+    with_scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
+    scale_dir = None
+    if with_scale:
+        from feature_store_test_spark.scaleprobe import ensure_replica
+
+        scale_dir = ensure_replica(spark)
+
     # warm each query's JVM/codegen path once on the smallest SF so measured
     # times reflect steady-state execution, not first-call JIT noise (cold
     # first runs measured 3-8x slower than warm on identical plans)
@@ -91,15 +113,21 @@ def main() -> None:
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
     time.sleep(2.0)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-            spark.catalog.clearCache()
-        timings[name] = round(min(runs), 3)
+    def time_spark(data_dir: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, data_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            out[name] = round(min(runs), 3)
+        return out
+
+    timings = time_spark(sf_dir)
 
     # Single-node columnar baseline: run each headline query's DuckDB oracle
     # SQL on the same parquet at the same SF (DuckDB uses all cores, fully
@@ -109,20 +137,47 @@ def main() -> None:
     # problems rather than fixed overhead.
     from feature_store_test_spark.oracle import duckdb_connection
 
-    con = duckdb_connection(sf_dir)
-    # min-of-two, same protocol as the Spark loop — single-shot DuckDB
-    # numbers absorb the same machine-level pauses
-    duck_timings: dict[str, float] = {}
-    for name in HEADLINE:
-        sql = specs[name].oracle
-        if sql is None:
-            continue
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            runs.append(time.perf_counter() - t0)
-        duck_timings[name] = round(min(runs), 3)
+    def time_duckdb(data_dir: str) -> dict[str, float]:
+        # min-of-two, same protocol as the Spark loop — single-shot DuckDB
+        # numbers absorb the same machine-level pauses
+        con = duckdb_connection(data_dir)
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            sql = specs[name].oracle
+            if sql is None:
+                continue
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                runs.append(time.perf_counter() - t0)
+            out[name] = round(min(runs), 3)
+        con.close()
+        return out
+
+    duck_timings = time_duckdb(sf_dir)
+
+    scale10x = None
+    scale_detail: dict[str, dict[str, float]] = {}
+    if with_scale and scale_dir:
+        # settle before the 10x loop: the replica build (first run) and the
+        # preceding 60+ measured executions leave GC debt that otherwise
+        # lands in the first 10x measurements (observed q01 at 5.7s in-bench
+        # vs 1.3s steady-state)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2.0)
+        scale_spark = time_spark(scale_dir)
+        scale_duck = time_duckdb(scale_dir)
+        s_tot = round(sum(scale_spark.values()), 3)
+        d_tot = round(sum(scale_duck.values()), 3)
+        scale10x = {
+            "spark_total_sec": s_tot,
+            "duckdb_total_sec": d_tot,
+            "ratio_vs_duckdb": round(s_tot / d_tot, 2) if d_tot else None,
+            "spark_growth_vs_1x": round(s_tot / sum(timings.values()), 2),
+        }
+        scale_detail = {"spark": scale_spark, "duckdb": scale_duck}
 
     # Reference-architecture throughput comparison: the reference engineers
     # features with eager single-threaded pandas (groupby/agg). Time the
@@ -228,22 +283,27 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "duckdb_baseline": {
-                    "total_sec": round(sum(duck_timings.values()), 3),
-                    "queries": duck_timings,
-                },
-                "throughput": throughput,
-                "sf": sf_val,
-            }
-        )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "duckdb_total_sec": round(sum(duck_timings.values()), 3),
+        "scale10x": scale10x,
+        "throughput": throughput,
+        "sf": sf_val,
+    }
+    # full per-query breakdowns live in a sidecar file; stdout stays one
+    # compact line so the driver's tail capture parses it whole
+    detail = dict(result)
+    detail["duckdb_queries"] = duck_timings
+    detail["scale10x_queries"] = scale_detail
+    self_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
     )
+    with open(self_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -124,7 +124,6 @@ SCHEMAS: dict[str, T.StructType] = {
 TABLE_NAMES = list(SCHEMAS)
 
 
-@functools.lru_cache(maxsize=None)
 def _events_ts_is_nanos(path: str) -> bool:
     """True when the events table stores ``ts`` as INT64 TIMESTAMP(NANOS)
     — the one physical layout Spark cannot read as a native timestamp.
@@ -146,6 +145,17 @@ def _events_ts_is_nanos(path: str) -> bool:
         if not parts:
             return False
         path = parts[0]
+    # cache keyed on (path, mtime, size), not path alone: a rewritten
+    # file at the same path (scaleprobe replica rebuild, regenerated
+    # fixtures) must be re-sniffed or ts silently misreads by 1000x
+    st = os.stat(path)
+    return _events_ts_is_nanos_cached(path, st.st_mtime_ns, st.st_size)
+
+
+@functools.lru_cache(maxsize=None)
+def _events_ts_is_nanos_cached(path: str, mtime_ns: int, size: int) -> bool:
+    import pyarrow.parquet as pq
+
     sch = pq.ParquetFile(path).schema
     col = sch.column(sch.names.index("ts"))
     return col.physical_type == "INT64" and "nanoseconds" in str(col.logical_type)

@@ -56,11 +56,15 @@ def _normalize_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are directories of part files (e.g. the
+        # scaleprobe 10x replica); DuckDB needs the glob form for those
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     return con
 
 

@@ -70,7 +70,10 @@ PROBED = [
 
 def _replicate(spark: SparkSession, name: str) -> None:
     out = f"{OUT_DIR}/{name}.parquet"
-    if os.path.exists(out):
+    # _SUCCESS marker, not bare existence: a replica interrupted mid-write
+    # leaves a partial directory that would otherwise be silently treated
+    # as complete and skew every 10x timing
+    if os.path.exists(f"{out}/_SUCCESS"):
         return
     base = load_table(spark, name, BASE_SF)
     keys = KEY_OFFSETS[name]
@@ -95,6 +98,16 @@ def _replicate(spark: SparkSession, name: str) -> None:
     out_df.write.mode("overwrite").parquet(out)
 
 
+def ensure_replica(spark: SparkSession) -> str:
+    """Build (or reuse) the 10x replica; returns its directory.
+
+    Shared by this probe and bench.py's scale point.
+    """
+    for name in SCHEMAS:
+        _replicate(spark, name)
+    return OUT_DIR
+
+
 def main() -> None:
     from feature_store_test_spark.registry import all_queries
     from feature_store_test_spark.session import get_spark
@@ -106,8 +119,7 @@ def main() -> None:
             "spark.sql.files.openCostInBytes": "512k",
         },
     )
-    for name in SCHEMAS:
-        _replicate(spark, name)
+    ensure_replica(spark)
 
     specs = all_queries()
     report: dict[str, dict[str, float]] = {}
