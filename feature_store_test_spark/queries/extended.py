@@ -468,7 +468,7 @@ def q47_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q48_native_session_window",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '30 minutes' OR
                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -477,7 +477,7 @@ def q47_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
