@@ -9,11 +9,13 @@ window — upserts are appends of computed rows, never in-place mutation.
 
 from feature_store_test_spark.store.aggview import IncrementalAggView
 from feature_store_test_spark.store.feature_group import FeatureGroup, FeatureStore
+from feature_store_test_spark.store.serving import ServingSession
 from feature_store_test_spark.store.table import VersionedParquetTable
 
 __all__ = [
     "FeatureGroup",
     "FeatureStore",
     "IncrementalAggView",
+    "ServingSession",
     "VersionedParquetTable",
 ]
