@@ -2,14 +2,17 @@
 
 Model: media rides as an opaque ``binary`` column next to typed metadata
 (format, byte size, content fingerprint). All *plumbing* — schemas,
-partition behavior, Arrow batch shapes, frame fan-out — is real and tested;
-the codec step itself is stubbed because no image/audio libraries exist in
-this container:
+partition behavior, Arrow batch shapes, frame fan-out — is real and tested.
+The codec tier is split:
 
-- ``decode_media`` raises NotImplementedError by default (clearly-marked
-  stub), or applies a deterministic fake decode (``fake=True``) whose
-  outputs are pure functions of the bytes — so the whole pipeline is
-  testable and oracle-checkable end to end.
+- REAL decoders for formats needing only struct+numpy (operators/
+  codecs.py): ``audio_features`` (WAV PCM) and ``image_features``
+  (BMP / P6 PPM) below decode actual payloads — no stub, no fake flag.
+- STUBBED decoders for formats needing external libraries (JPEG/PNG/
+  video): ``decode_media`` raises NotImplementedError by default
+  (clearly-marked stub), or applies a deterministic fake decode
+  (``fake=True``) whose outputs are pure functions of the bytes — so the
+  whole pipeline is testable and oracle-checkable end to end.
 
 Scale notes: binary payloads make row sizes large and skewed — the batch
 size knob on mapInPandas (spark.sql.execution.arrow.maxRecordsPerBatch)
@@ -21,6 +24,7 @@ by key only where a consumer needs bytes.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -52,6 +56,90 @@ def blob_meta(blob: str | Column) -> Column:
         F.octet_length(b).alias("n_bytes"),
         F.md5(b).alias("content_fp"),
         fmt.alias("format"),
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bpp", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def _feature_map(decode, schema: T.StructType, id_col: str, blob_col: str):
+    """mapInPandas generator applying a real bytes->dict decoder per row.
+
+    Decode failures land in a ``decode_error`` column instead of killing
+    the stage — at corpus scale a malformed blob is data, not an
+    exception; the caller filters or quarantines on the error column
+    (same contract as the streaming DLQ path).
+    """
+    cols = [f.name for f in schema.fields if f.name not in (id_col, "decode_error")]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in schema.fields}
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                out[id_col].append(doc_id)
+                try:
+                    feats = decode(bytes(blob))
+                    err = None
+                except (ValueError, struct_error) as e:
+                    feats, err = {}, str(e)
+                for c in cols:
+                    out[c].append(feats.get(c))
+                out["decode_error"].append(err)
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def audio_features(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL WAV PCM decode (operators/codecs.py:decode_wav) over Arrow
+    batches: sample rate, channel count, duration, RMS/peak/ZCR per blob.
+    No stub — actual RIFF chunk walk and PCM sample math on numpy."""
+    from feature_store_test_spark.operators.codecs import decode_wav
+
+    return df.select(id_col, blob_col).mapInPandas(
+        _feature_map(decode_wav, AUDIO_FEATURE_SCHEMA, id_col, blob_col),
+        AUDIO_FEATURE_SCHEMA,
+    )
+
+
+def image_features(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image decode (BMP or P6 PPM, operators/codecs.py) over Arrow
+    batches: dimensions + per-channel means per blob."""
+    from feature_store_test_spark.operators.codecs import decode_image
+
+    return df.select(id_col, blob_col).mapInPandas(
+        _feature_map(decode_image, IMAGE_FEATURE_SCHEMA, id_col, blob_col),
+        IMAGE_FEATURE_SCHEMA,
     )
 
 

@@ -131,3 +131,89 @@ def q88_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(sq), 6).alias("l2norm"),
         top_bin.alias("top_bin"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q118 — REAL audio codec end to end: each doc synthesizes a deterministic
+# PCM16 WAV payload (samples are a closed-form function of doc_id), the
+# Spark side round-trips it through ACTUAL RIFF bytes — encode_wav builds
+# the container, audio_features walks the chunks and decodes the samples
+# (operators/codecs.py, no stub, no fake flag) — while the oracle computes
+# the same features directly from the closed form. Exercises: binary
+# construction + decode in one Arrow-batched Python stage, real chunk
+# parsing, numpy feature math; all hash-checked. Sums of v^2 (<=10^4 each,
+# <=70 terms) are exact in doubles, so rms is bit-identical across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q118_audio_codec",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 50 + doc_id % 20 AS n FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+      SELECT doc_id, n, CAST(j AS BIGINT) AS j,
+             ((doc_id * 7 + j) % 200) - 100 AS v
+      FROM d, unnest(generate_series(0, n - 1)) AS g(j)
+    ),
+    lagged AS (
+      SELECT doc_id, n, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(MIN(n) AS BIGINT) AS n_samples,
+           ROUND(MIN(n) / 8000.0, 6) AS duration_s,
+           ROUND(SQRT(AVG(CAST(v * v AS DOUBLE))), 6) AS rms,
+           CAST(MAX(ABS(v)) AS DOUBLE) AS peak,
+           ROUND(AVG(CASE WHEN pv IS NULL THEN NULL
+                          WHEN (v < 0) <> (pv < 0) THEN 1.0 ELSE 0.0 END), 6)
+             AS zero_crossing_rate
+    FROM lagged GROUP BY doc_id
+    """,
+    doc="REAL WAV PCM decode (RIFF chunk walk) vs closed-form sample oracle",
+    tags=("multimodal", "codec", "udf"),
+)
+def q118_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from feature_store_test_spark.operators.multimodal import audio_features
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 200)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from feature_store_test_spark.operators.codecs import encode_wav
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                n = 50 + int(doc_id) % 20
+                j = np.arange(n, dtype=np.int64)
+                samples = ((int(doc_id) * 7 + j) % 200) - 100
+                blobs.append(encode_wav(samples, sample_rate=8000, bits=16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    wavs = docs.select("doc_id").mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("blob", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = audio_features(wavs)
+    # zcr's n>1 guard: n >= 50 always here, so the decoder's formula and
+    # the oracle's pairwise average agree with no edge case
+    return feats.select(
+        "doc_id",
+        F.col("n_samples"),
+        F.round(F.col("duration_s"), 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+        F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+    )

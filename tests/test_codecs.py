@@ -1,0 +1,129 @@
+"""Real codec paths (operators/codecs.py + multimodal.audio_features /
+image_features): round-trip property tests against numpy ground truth,
+plus the Spark mapInPandas path end to end.
+
+These are the promoted fake=False decoders — actual RIFF/BMP/PPM byte
+parsing, not the deterministic stub codec decode_media uses for formats
+the container has no libraries for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from feature_store_test_spark.operators.codecs import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+)
+
+
+@given(
+    n=st.integers(1, 500),
+    ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    bits=st.sampled_from([8, 16]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip(n, ch, rate, bits, seed):
+    rng = np.random.default_rng(seed)
+    lim = 127 if bits == 8 else 32767
+    samples = rng.integers(-lim, lim, size=(n, ch), dtype=np.int64)
+    got = decode_wav(encode_wav(samples, sample_rate=rate, bits=bits))
+    assert (got["sample_rate"], got["n_channels"], got["bits"]) == (rate, ch, bits)
+    assert got["n_samples"] == n
+    mono = samples.astype(np.float64).mean(axis=1)
+    assert got["rms"] == pytest.approx(np.sqrt(np.mean(mono**2)), abs=1e-9)
+    assert got["peak"] == pytest.approx(np.max(np.abs(mono)), abs=1e-9)
+    assert got["duration_s"] == pytest.approx(n / rate)
+
+
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_and_ppm_roundtrip(w, h, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    for enc, dec in ((encode_bmp, decode_bmp), (encode_ppm, decode_ppm)):
+        got = dec(enc(px))
+        assert (got["width"], got["height"]) == (w, h)
+        assert got["mean_r"] == pytest.approx(px[:, :, 0].mean(), abs=1e-9)
+        assert got["mean_g"] == pytest.approx(px[:, :, 1].mean(), abs=1e-9)
+        assert got["mean_b"] == pytest.approx(px[:, :, 2].mean(), abs=1e-9)
+
+
+def test_bmp_row_padding_and_bottom_up():
+    # w=3 -> 9-byte raw rows, 3 bytes padding; distinct rows verify the
+    # bottom-up unflip and that padding bytes never leak into means
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    px[0, :, 0] = 255  # top row pure red
+    px[1, :, 2] = 255  # bottom row pure blue
+    got = decode_bmp(encode_bmp(px))
+    assert got["mean_r"] == pytest.approx(255 / 2)
+    assert got["mean_b"] == pytest.approx(255 / 2)
+    assert got["mean_g"] == 0.0
+
+
+def test_ppm_comments_and_whitespace():
+    px = np.full((2, 2, 3), 7, dtype=np.uint8)
+    raw = b"P6 # comment\n# another\n 2\t2\n255\n" + px.tobytes()
+    got = decode_ppm(raw)
+    assert (got["width"], got["height"]) == (2, 2)
+    assert got["mean_r"] == 7.0
+
+
+def test_wav_rejects_non_riff():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+
+
+def test_spark_audio_and_image_features(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):
+        wav = encode_wav(
+            rng.integers(-1000, 1000, size=(100 + i, 1), dtype=np.int64),
+            sample_rate=8000,
+        )
+        rows.append((i, bytearray(wav)))
+    rows.append((99, bytearray(b"garbage-not-a-wav")))
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+
+    from feature_store_test_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+    )
+
+    out = {r["doc_id"]: r for r in audio_features(df).collect()}
+    assert len(out) == 21
+    for i in range(20):
+        assert out[i]["n_samples"] == 100 + i
+        assert out[i]["sample_rate"] == 8000
+        assert out[i]["decode_error"] is None
+    # malformed blob is data, not an exception
+    assert out[99]["decode_error"] is not None and out[99]["n_samples"] is None
+
+    img_rows = []
+    for i in range(10):
+        px = rng.integers(0, 256, size=(4 + i, 3, 3), dtype=np.uint8)
+        enc = encode_bmp(px) if i % 2 == 0 else encode_ppm(px)
+        img_rows.append((i, bytearray(enc), px))
+    idf = spark.createDataFrame(
+        [(i, b) for i, b, _ in img_rows], "doc_id long, blob binary"
+    )
+    got = {r["doc_id"]: r for r in image_features(idf).collect()}
+    for i, _, px in img_rows:
+        assert got[i]["height"] == 4 + i
+        assert got[i]["mean_g"] == pytest.approx(px[:, :, 1].mean(), abs=1e-9)
+        assert got[i]["decode_error"] is None
