@@ -110,12 +110,16 @@ def asof_join(
         .where(F.col("__is_left") == 1)
     )
     if tolerance_seconds is not None:
-        gap = F.abs(
-            F.col("__t").cast("double") - F.col("__match.__rt").cast("double")
+        # integer-microsecond arithmetic: a double-cast gap (epoch seconds
+        # ~1.7e9, ulp 2.4e-7s) could flip a <=-boundary match whose gap
+        # equals the tolerance to the microsecond; long math is exact
+        gap_us = F.abs(
+            F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__match.__rt"))
         )
+        tol_us = int(round(float(tolerance_seconds) * 1_000_000))
         matched = matched.withColumn(
             "__match",
-            F.when(gap <= F.lit(float(tolerance_seconds)), F.col("__match")),
+            F.when(gap_us <= F.lit(tol_us), F.col("__match")),
         )
     return matched.select(
         *left.columns,
