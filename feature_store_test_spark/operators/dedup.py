@@ -77,6 +77,7 @@ def minhash_signatures_arrays(
     arr_col: str = "shingles",
     k: int = 8,
     keep_arr: bool = False,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """k min-window signature columns from an array-of-shingles table.
 
@@ -90,7 +91,8 @@ def minhash_signatures_arrays(
     if k > 32:
         raise ValueError("array signature family supports k <= 32")
     step = 32 // k
-    keep = [F.col(arr_col)] if keep_arr else []
+    keep_names = keep_cols if keep_cols is not None else ([arr_col] if keep_arr else [])
+    keep = [F.col(c) for c in keep_names]
     harr = arr_df.select(
         F.col(id_col),
         *keep,
@@ -311,12 +313,27 @@ def minhash_near_dups(
     persists the input or runs the pipeline once on a small corpus; for
     unbounded individual document sizes, compose the EXPLODE-form
     primitives instead.
+
+    Verification intersects xxhash64 arrays, not shingle strings: when
+    candidate density is high (a corpus full of true near-dups — the 10x
+    replica by construction) the verify joins shuffle pair rows carrying
+    both docs' arrays, and 8-byte longs cut that payload ~2.5x vs ~20-byte
+    strings — measured 2x faster and far lower variance at 10x. A pair's
+    Jaccard differs from string equality only on a 64-bit collision
+    inside that pair's union (P ≈ 100²/2⁶⁵ ≈ 3e-16 per pair) — the
+    standard fingerprint-equality trade every at-scale dedup makes.
     """
-    arr = shingle_array(df, id_col, text_col, n=n)
+    arr = shingle_array(df, id_col, text_col, n=n).select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.transform("shingles", lambda x: F.xxhash64(x)).alias("__sh64"),
+    )
     if cache_shingles:
         from pyspark import StorageLevel
 
         arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures_arrays(arr, id_col, k=k)
     pairs = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands)
-    return jaccard_verify_arrays(arr, pairs, id_col, threshold=threshold)
+    return jaccard_verify_arrays(
+        arr, pairs, id_col, arr_col="__sh64", threshold=threshold
+    )

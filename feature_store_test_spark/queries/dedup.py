@@ -539,19 +539,25 @@ def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     # shingle-level shuffles.
     from pyspark import StorageLevel
 
-    arr = shingle_array(docs, "doc_id", "text", n=3)
-    sigs = minhash_signatures_arrays(arr, "doc_id", k=k, keep_arr=True).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # exact side intersects xxhash64 arrays, not strings — same trade as
+    # minhash_near_dups (narrower pair rows under high candidate density)
+    arr = shingle_array(docs, "doc_id", "text", n=3).select(
+        "doc_id",
+        "shingles",
+        F.transform("shingles", lambda x: F.xxhash64(x)).alias("__sh64"),
     )
+    sigs = minhash_signatures_arrays(
+        arr, "doc_id", k=k, keep_cols=["__sh64"]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=k, bands=_MINHASH_BANDS)
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),
-        F.col("shingles").alias("arr_a"),
+        F.col("__sh64").alias("arr_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)],
     )
     sb = sigs.select(
         F.col("doc_id").alias("id_b"),
-        F.col("shingles").alias("arr_b"),
+        F.col("__sh64").alias("arr_b"),
         *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)],
     )
     agree = sum(
