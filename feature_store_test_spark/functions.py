@@ -51,8 +51,21 @@ def dec_sum(col: str | F.Column, scale: int = 2, out: str | None = None) -> F.Co
       correctly rounded, bit-identical to the naive form's cast.
     """
     c = F.col(col) if isinstance(col, str) else col
-    ticks = F.rint(F.round(c, scale) * F.lit(float(10**scale))).cast(
-        "decimal(20,0)"
+    w = c * F.lit(float(10**scale))
+    # The repr-based round (BigDecimal per row) can only disagree with the
+    # cheap scaled-double RINT when the scaled value sits within double
+    # noise of a .5 boundary (the repr and the double differ by well under
+    # 1e-6 ticks for any money-range value). Guarding the expensive branch
+    # keeps the hot path pure codegen — money-exact data never takes it —
+    # at full bit parity: boundary rows (.xx5-repr inputs) route through
+    # the exact semantics. Measured: bare ROUND form cost q01 +1.4s at the
+    # 10x bench point; guarded form is indistinguishable from the old
+    # FLOOR while passing the adversarial-tie parity test.
+    near_half = F.abs(w - F.floor(w) - F.lit(0.5)) < F.lit(1e-6)
+    ticks = (
+        F.when(near_half, F.rint(F.round(c, scale) * F.lit(float(10**scale))))
+        .otherwise(F.rint(w))
+        .cast("decimal(20,0)")
     )
     expr = (F.sum(ticks) / F.lit(10**scale).cast("decimal(7,0)")).cast("double")
     return expr.alias(out) if out else expr

@@ -55,7 +55,21 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast thresholds, split by how trustworthy the size is:
+        # static planning sees file-size ESTIMATES, and a column-pruned
+        # fact table can sneak under a large threshold — at 10x bench
+        # scale a 64m static threshold made Catalyst broadcast the 6M-row
+        # lineitem as a join BUILD side (3.5s q05; plan-fatal at cluster
+        # scale). 16m keeps every true dimension broadcast while facts
+        # never qualify. AQE's conversion measures ACTUAL shuffle bytes
+        # at runtime, so it gets the full 64m — mid-size aggregated
+        # sides (TPC-H Q18's grouped orders) still upgrade to broadcast
+        # when they really are small.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         # --- python interop (pandas UDFs, toPandas) ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
