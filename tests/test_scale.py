@@ -44,6 +44,10 @@ def test_aqe_splits_skewed_join_partitions(spark):
         spark,
         {
             "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # the session default allows AQE runtime broadcast conversion
+            # (adaptive threshold 64m) which would sidestep the skew split
+            # this test pins — disable both tiers
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.skewJoin.enabled": "true",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
