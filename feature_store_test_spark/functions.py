@@ -50,6 +50,10 @@ def dec_sum(col: str | F.Column, scale: int = 2, out: str | None = None) -> F.Co
     * final: one exact decimal division by 10^s, cast to double —
       correctly rounded, bit-identical to the naive form's cast.
     """
+    if scale > 6:
+        # the final exact division lands on decimal(38,6) after Spark's
+        # precision-loss adjustment; >6 fractional digits would be rounded
+        raise ValueError(f"dec_sum supports scale <= 6, got {scale}")
     c = F.col(col) if isinstance(col, str) else col
     w = c * F.lit(float(10**scale))
     # The repr-based round (BigDecimal per row) can only disagree with the
@@ -65,9 +69,31 @@ def dec_sum(col: str | F.Column, scale: int = 2, out: str | None = None) -> F.Co
     ticks = (
         F.when(near_half, F.rint(F.round(c, scale) * F.lit(float(10**scale))))
         .otherwise(F.rint(w))
-        .cast("decimal(20,0)")
+        .cast("long")
     )
-    expr = (F.sum(ticks) / F.lit(10**scale).cast("decimal(7,0)")).cast("double")
+    # Accumulate as TWO long sums over a hi/lo bit-split of the ticks, not
+    # one decimal sum: sum over DECIMAL(20,0) exceeds Spark's 18-digit
+    # compact-long representation, so every row paid a heap BigDecimal in
+    # the aggregation hash map (measured 5x the whole-stage cost of a long
+    # sum — q01's five money sums were ~1.5s of pure accumulator overhead
+    # at sf0.1). The split keeps 76-bit exactness on 64-bit codegen sums:
+    #   hi = ticks >> 22 (arithmetic shift = floor division, negatives ok)
+    #   lo = ticks - hi*2^22            in [0, 2^22)
+    #   total = sum(hi)*2^22 + sum(lo)  recombined in DECIMAL(38,0)
+    # Overflow bound: |sum(hi)| <= N * |ticks|/2^22 and sum(lo) < N * 2^22,
+    # so both partial sums fit a long for N*|ticks| < 2^85 — e.g. 2e12 rows
+    # of scale-6 ticks on 1e7-unit money (2^44/row) with 2^41 headroom; the
+    # old decimal accumulator's bound was 1e20 ticks, i.e. this loses no
+    # realistic range. Final recombine + division happen once per group in
+    # exact decimal, so the double result is bit-identical to
+    # CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE).
+    hi = F.shiftright(ticks, 22)
+    lo = ticks - hi * F.lit(1 << 22)
+    total = (
+        F.sum(hi).cast("decimal(38,0)") * F.lit(1 << 22).cast("decimal(8,0)")
+        + F.sum(lo).cast("decimal(38,0)")
+    )
+    expr = (total / F.lit(10**scale).cast("decimal(7,0)")).cast("double")
     return expr.alias(out) if out else expr
 
 
