@@ -61,7 +61,7 @@ def q92_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("day_value"),
+        dec_sum("value", 2, "day_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
     scaffold = (

@@ -7,6 +7,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from feature_store_test_spark.functions import dec_sum
 from pyspark.sql import types as T
 
 from feature_store_test_spark.data import load_table
@@ -72,7 +74,7 @@ def q34_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            dec_sum("value", 2, "total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -109,7 +111,7 @@ def q35_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_priority"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            dec_sum("o_totalprice", 2, "total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -265,7 +267,7 @@ def q40_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        dec_sum("value", 2, "session_value"),
     )
 
 
@@ -499,7 +501,7 @@ def q48_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+            dec_sum("value", 2, "session_value"),
         )
         .select("user_id", "session_start", "session_end", "n_events", "session_value")
     )

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from feature_store_test_spark.functions import dec_sum
+
 from feature_store_test_spark.data import load_table
 from feature_store_test_spark.engineering import engineer_features
 from feature_store_test_spark.registry import register
@@ -248,8 +250,7 @@ def q45_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1)),
+                dec_sum("value", 2) / F.count(F.lit(1)),
                 6,
             ).alias("avg_value")
         )

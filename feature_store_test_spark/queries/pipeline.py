@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
-from feature_store_test_spark.functions import md5_bucket
+from feature_store_test_spark.functions import dec_sum, md5_bucket
 from feature_store_test_spark.operators import text as Tx
 from feature_store_test_spark.registry import register
 
@@ -237,7 +237,7 @@ def q82_activity_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("w_user", "w_day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("window_value"),
+            dec_sum("value", 2, "window_value"),
         )
         .orderBy("w_user", "w_day")
     )

@@ -331,7 +331,7 @@ def q64_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            _dec_sum("value", 2, "total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
