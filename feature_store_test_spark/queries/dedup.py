@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from feature_store_test_spark.data import load_table
+from feature_store_test_spark.data import load_table_spread as load_table
 from feature_store_test_spark.operators import text as Tx
 from feature_store_test_spark.operators.dedup import (
     lsh_candidate_pairs,

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from feature_store_test_spark.functions import dec_sum
 from pyspark.sql import types as T
 
-from feature_store_test_spark.data import load_table
+from feature_store_test_spark.data import load_table, load_table_spread
 from feature_store_test_spark.registry import register
 
 
@@ -46,7 +46,7 @@ def _pandas_quality(text: pd.Series) -> pd.Series:
     tags=("udf", "text"),
 )
 def q33_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir)
     return docs.select("doc_id", _pandas_quality("text").alias("pandas_score"))
 
 
@@ -195,7 +195,7 @@ def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_test_spark.operators.similarity import lsh_ann_topk
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_table_spread(spark, "embeddings", sf_dir)
     return lsh_ann_topk(
         corpus=emb,
         queries=emb.where(F.col("vec_id") < 20),
@@ -379,7 +379,7 @@ def q42_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "agg", "array"),
 )
 def q43_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_table_spread(spark, "embeddings", sf_dir)
     dims = emb.select(
         "label", F.posexplode("embedding").alias("dim", "val")
     ).select("label", "dim", F.col("val").cast("double").alias("val"))
@@ -566,7 +566,7 @@ def q49_quantiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q50_prefix_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_test_spark.operators import text as Tx
 
-    docs = load_table(spark, "documents", sf_dir).select(
+    docs = load_table_spread(spark, "documents", sf_dir).select(
         "doc_id",
         Tx.prefix_fingerprint("text", 5).alias("f"),
         F.substring("text", 1, 40).alias("head"),
@@ -688,7 +688,7 @@ def q52_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("array", "scalar", "text"),
 )
 def q53_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir)
     words = F.split("text", " ")
     vocab = F.array_sort(F.array_distinct(words))
     rvocab = F.array_sort(F.array_distinct(F.split(F.reverse(F.col("text")), " ")))
@@ -792,7 +792,7 @@ def q85_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield row.doc_id, i // 10, " ".join(c), len(c)
 
     spark.udtf.register("q85_chunk_words", ChunkWords)
-    load_table(spark, "documents", sf_dir).select("doc_id", "text").createOrReplaceTempView(
+    load_table_spread(spark, "documents", sf_dir).select("doc_id", "text").createOrReplaceTempView(
         "q85_docs"
     )
     return spark.sql(

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from feature_store_test_spark.data import load_table
+from feature_store_test_spark.data import load_table_spread as load_table
 from feature_store_test_spark.operators.multimodal import (
     blob_meta,
     decode_media,

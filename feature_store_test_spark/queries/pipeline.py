@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from feature_store_test_spark.data import load_table
+from feature_store_test_spark.data import load_table as load_table_plain
+from feature_store_test_spark.data import load_table_spread as load_table
 from feature_store_test_spark.functions import dec_sum, md5_bucket
 from feature_store_test_spark.operators import text as Tx
 from feature_store_test_spark.registry import register
@@ -167,7 +168,9 @@ def q80_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "window", "packing"),
 )
 def q81_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    # plain loader: the projection here is integer arithmetic — the DOP
+    # spread's exchange costs more than the serial map it parallelizes
+    docs = load_table_plain(spark, "documents", sf_dir)
     n_tokens = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
     w = (
         Window.partitionBy("lang")
@@ -220,7 +223,7 @@ def q81_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q82_activity_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_test_spark.operators.rangejoin import interval_join
 
-    ev = load_table(spark, "events", sf_dir)
+    ev = load_table_plain(spark, "events", sf_dir)
     win = (
         ev.where(F.col("user_id") < 30)
         .groupBy(

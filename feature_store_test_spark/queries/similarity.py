@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from feature_store_test_spark.data import load_table
+from feature_store_test_spark.data import load_table_spread as load_table
 from feature_store_test_spark.operators.similarity import cosine, cosine_topk, l2_norm
 from feature_store_test_spark.registry import register
 
