@@ -65,12 +65,7 @@ def dec_sum(col: str | F.Column, scale: int = 2, out: str | None = None) -> F.Co
     # the exact semantics. Measured: bare ROUND form cost q01 +1.4s at the
     # 10x bench point; guarded form is indistinguishable from the old
     # FLOOR while passing the adversarial-tie parity test.
-    near_half = F.abs(w - F.floor(w) - F.lit(0.5)) < F.lit(1e-6)
-    ticks = (
-        F.when(near_half, F.rint(F.round(c, scale) * F.lit(float(10**scale))))
-        .otherwise(F.rint(w))
-        .cast("long")
-    )
+    ticks = dec_ticks(c, scale)
     # Accumulate as TWO long sums over a hi/lo bit-split of the ticks, not
     # one decimal sum: sum over DECIMAL(20,0) exceeds Spark's 18-digit
     # compact-long representation, so every row paid a heap BigDecimal in
@@ -95,6 +90,41 @@ def dec_sum(col: str | F.Column, scale: int = 2, out: str | None = None) -> F.Co
     )
     expr = (total / F.lit(10**scale).cast("decimal(7,0)")).cast("double")
     return expr.alias(out) if out else expr
+
+
+def dec_ticks(col: str | F.Column, scale: int) -> F.Column:
+    """Per-row integer ticks of ``CAST(x AS DECIMAL(18,scale))`` as a long
+    — the row-side half of ``dec_sum``, exposed for operators (salted
+    aggregation) that need to carry exact money through their own
+    multi-stage sums. See ``dec_sum`` for the repr-rounding semantics.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = c * F.lit(float(10**scale))
+    near_half = F.abs(w - F.floor(w) - F.lit(0.5)) < F.lit(1e-6)
+    return (
+        F.when(near_half, F.rint(F.round(c, scale) * F.lit(float(10**scale))))
+        .otherwise(F.rint(w))
+        .cast("long")
+    )
+
+
+def ticks_hi(ticks: F.Column) -> F.Column:
+    """High 22-bit-shifted slice of a tick column (see dec_sum)."""
+    return F.shiftright(ticks, 22)
+
+
+def ticks_lo(ticks: F.Column) -> F.Column:
+    """Low slice: ticks - (ticks >> 22) * 2^22, in [0, 2^22)."""
+    return ticks - F.shiftright(ticks, 22) * F.lit(1 << 22)
+
+
+def ticks_total(sum_hi: F.Column, sum_lo: F.Column, scale: int) -> F.Column:
+    """Exact recombination of hi/lo tick sums back to a double value."""
+    total = (
+        sum_hi.cast("decimal(38,0)") * F.lit(1 << 22).cast("decimal(8,0)")
+        + sum_lo.cast("decimal(38,0)")
+    )
+    return (total / F.lit(10**scale).cast("decimal(7,0)")).cast("double")
 
 
 def revenue() -> F.Column:

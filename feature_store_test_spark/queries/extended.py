@@ -293,13 +293,25 @@ def q40_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q41_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_test_spark.operators.skew import salted_agg
 
+    from feature_store_test_spark.functions import (
+        dec_ticks,
+        ticks_hi,
+        ticks_lo,
+        ticks_total,
+    )
+
     li = load_table(spark, "lineitem", sf_dir)
+    # money rides through both salting stages as hi/lo long tick sums
+    # (codegen-compact, exact — see functions.dec_sum); the decimal form
+    # paid a per-row BigDecimal in BOTH stage aggregations
+    price_ticks = dec_ticks(F.col("l_extendedprice"), 2)
     out = salted_agg(
         li,
         keys=["l_suppkey"],
         aggs={
             "n_items": ("sum", F.count(F.lit(1))),
-            "total_price_dec": ("sum", F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))),
+            "__tp_hi": ("sum", F.sum(ticks_hi(price_ticks))),
+            "__tp_lo": ("sum", F.sum(ticks_lo(price_ticks))),
             "max_qty_dec": ("max", F.max(F.col("l_quantity").cast("decimal(18,2)"))),
         },
         n_salt=16,
@@ -307,7 +319,7 @@ def q41_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_suppkey",
         "n_items",
-        F.col("total_price_dec").cast("double").alias("total_price"),
+        ticks_total(F.col("__tp_hi"), F.col("__tp_lo"), 2).alias("total_price"),
         F.col("max_qty_dec").cast("double").alias("max_qty"),
     )
 

@@ -216,6 +216,13 @@ def q101_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).where(F.col("term") != "")
+    # One exchange serves both the tf aggregation and the per-doc ranking
+    # window: hash partitioning on doc_id alone satisfies the (doc_id,
+    # term) clustering requirement, and the window's doc_id requirement,
+    # so EnsureRequirements inserts no further shuffle. Shuffle volume is
+    # ~the raw token stream either way (terms are mostly unique per doc,
+    # so the map-side combine the plain groupBy would get saves little).
+    tokens = tokens.repartition(F.col("doc_id"))
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
