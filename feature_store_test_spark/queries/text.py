@@ -295,3 +295,149 @@ def q117_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").cast("bigint").alias("chars_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q119 — repetition signals (Gopher-style quality filters, Rae et al. 2021):
+# top-unigram dominance and duplicate-bigram fraction flag degenerate /
+# looping generations before they reach a training mix. dup_bigram_frac is
+# pure scan-side array math (zip_with adjacent slices -> distinct ratio, no
+# explode); only the unigram mode needs a shuffle, and one doc_id hash
+# partitioning serves both the (doc_id, w) count and the per-doc max — the
+# same single-exchange shape as q101. Ratios are single IEEE divisions of
+# exact integers (bit-identical across engines), so no rounding is needed.
+# ---------------------------------------------------------------------------
+@register(
+    "q119_repetition_signals",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), uni AS (
+      SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+        SELECT doc_id, w, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY 1, 2
+      ) GROUP BY 1
+    ), bg AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1]) AS bgs
+      FROM t
+    )
+    SELECT t.doc_id,
+           len(ws) AS n_tokens,
+           CAST(top_cnt AS DOUBLE) / len(ws) AS top_unigram_share,
+           CASE WHEN len(bgs) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs)
+           END AS dup_bigram_frac,
+           (CAST(top_cnt AS DOUBLE) / len(ws) > 0.125)
+             OR (CASE WHEN len(bgs) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs)
+                 END > 0.05) AS is_repetitive
+    FROM t JOIN uni USING (doc_id) JOIN bg USING (doc_id)
+    """,
+    doc="Gopher-style repetition filters: top-unigram share + dup-bigram fraction",
+    tags=("text", "quality", "pipeline"),
+)
+def q119_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ws = F.split("text", " ")
+    # adjacent-bigram distinct ratio without exploding: zip the word array
+    # against itself shifted by one
+    bgs = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dup_frac = F.when(F.size(bgs) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bgs)).cast("double") / F.size(bgs)
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        dup_frac.alias("dup_bigram_frac"),
+        F.explode(ws).alias("w"),
+    )
+    # one doc_id exchange covers the (doc_id, w) count AND the per-doc max
+    # (hash clustering on a key prefix satisfies both requirements)
+    per_doc = per_doc.repartition(F.col("doc_id"))
+    counts = per_doc.groupBy(
+        "doc_id", "n_tokens", "dup_bigram_frac", "w"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.groupBy("doc_id", "n_tokens", "dup_bigram_frac").agg(
+        F.max("cnt").alias("top_cnt")
+    )
+    share = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    return top.select(
+        "doc_id",
+        "n_tokens",
+        share.alias("top_unigram_share"),
+        "dup_bigram_frac",
+        ((share > 0.125) | (F.col("dup_bigram_frac") > 0.05)).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q120 — corpus-frequency quality score (the log-free core of CCNet-style
+# LM filtering, Wenzek et al. 2020): score each document by how common its
+# tokens are corpus-wide. Transcendental-free by design — ln() differs in
+# the last ulp across libm implementations, so a cross-engine-exact score
+# uses pure integer sums and IEEE divisions instead: mean relative token
+# frequency and the fraction of tokens whose corpus count <= 2.
+# Scale: vocabulary counts aggregate with map-side combine then BROADCAST
+# back onto the token stream (vocab of a 100 TB corpus is ~1e8 rows of
+# (term, count) — fits executors; web-scale vocab would switch to a
+# sort-merge join on term); the document text itself shuffles once, on
+# doc_id, for the per-doc aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q120_corpus_freq_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*) AS total FROM tok
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(cnt) AS BIGINT) AS sum_corpus_cnt,
+           CAST(SUM(cnt) AS DOUBLE) / COUNT(*) / (SELECT total FROM tot)
+             AS mean_rel_freq,
+           CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS rare_frac,
+           CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             > 0.2 AS is_rare_heavy
+    FROM tok JOIN vocab USING (w)
+    GROUP BY doc_id
+    """,
+    doc="corpus-relative token frequency quality score (log-free CCNet core)",
+    tags=("text", "quality", "pipeline", "join"),
+)
+def q120_corpus_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tokens.agg(F.count(F.lit(1)).alias("total"))
+    rare = F.sum(F.when(F.col("cnt") <= 2, 1).otherwise(0)).cast("double")
+    per_doc = (
+        tokens.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("sum_corpus_cnt"),
+            rare.alias("__rare"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_corpus_cnt",
+        (
+            F.col("sum_corpus_cnt").cast("double")
+            / F.col("n_tokens")
+            / F.col("total")
+        ).alias("mean_rel_freq"),
+        (F.col("__rare") / F.col("n_tokens")).alias("rare_frac"),
+        (F.col("__rare") / F.col("n_tokens") > 0.2).alias("is_rare_heavy"),
+    )
