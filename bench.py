@@ -113,11 +113,11 @@ def main() -> None:
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
     time.sleep(2.0)
-    def time_spark(data_dir: str) -> dict[str, float]:
+    def time_spark(data_dir: str, n_runs: int = 2) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in HEADLINE:
             runs = []
-            for _ in range(2):
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 specs[name].fn(spark, data_dir).write.format("noop").mode(
                     "overwrite"
@@ -127,7 +127,12 @@ def main() -> None:
             out[name] = round(min(runs), 3)
         return out
 
-    timings = time_spark(sf_dir)
+    # min-of-THREE at the base SF: sub-second queries on a shared 32-thread
+    # JVM still showed 2-3x one-off outliers surviving min-of-two (GC debt
+    # from neighboring queries); a third run costs ~17s here and is not
+    # worth it at the 10x point where queries run long enough to dominate
+    # their noise.
+    timings = time_spark(sf_dir, n_runs=3)
 
     # Single-node columnar baseline: run each headline query's DuckDB oracle
     # SQL on the same parquet at the same SF (DuckDB uses all cores, fully
@@ -137,8 +142,8 @@ def main() -> None:
     # problems rather than fixed overhead.
     from feature_store_test_spark.oracle import duckdb_connection
 
-    def time_duckdb(data_dir: str) -> dict[str, float]:
-        # min-of-two, same protocol as the Spark loop — single-shot DuckDB
+    def time_duckdb(data_dir: str, n_runs: int = 2) -> dict[str, float]:
+        # same min-of-N protocol as the Spark loop — single-shot DuckDB
         # numbers absorb the same machine-level pauses
         con = duckdb_connection(data_dir)
         out: dict[str, float] = {}
@@ -147,7 +152,7 @@ def main() -> None:
             if sql is None:
                 continue
             runs = []
-            for _ in range(2):
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 runs.append(time.perf_counter() - t0)
@@ -155,7 +160,7 @@ def main() -> None:
         con.close()
         return out
 
-    duck_timings = time_duckdb(sf_dir)
+    duck_timings = time_duckdb(sf_dir, n_runs=3)
 
     scale10x = None
     scale_detail: dict[str, dict[str, float]] = {}

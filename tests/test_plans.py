@@ -212,3 +212,23 @@ def test_q114_full_outer_joins_pre_aggregated_sides(spark, sf_dir):
     assert "FullOuter" in plan
     # aggregation happens below the join: 2 partial+2 final aggregates
     assert plan.count("HashAggregate") >= 4
+
+
+def test_q119_bigrams_jvm_side_single_exchange(spark, sf_dir):
+    """Repetition signals: bigram dup-fraction is array math on the scan
+    side (no Python), and the (doc_id, w) count + per-doc max reuse ONE
+    doc_id hash exchange (the q101 shape)."""
+    plan = plan_of(spark, sf_dir, "q119_repetition_signals")
+    assert "Python" not in plan
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q120_vocabulary_is_broadcast(spark, sf_dir):
+    """Corpus-frequency scoring: the vocabulary joins back onto the token
+    stream as a BROADCAST build side (never a sort-merge shuffle of the
+    tokens), and the scalar total rides a broadcast nested loop."""
+    plan = plan_of(spark, sf_dir, "q120_corpus_freq_quality")
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
