@@ -26,8 +26,11 @@ from pyspark.sql import functions as F
 from feature_store_test_spark.data import SCHEMAS, load_table
 
 BASE_SF = "/root/testdata/sf0.1"
-OUT_DIR = "/tmp/scale10x"
-COPIES = 10
+# Replication factor is env-tunable for one-off deeper probes
+# (SPARK_GRAFT_SCALE_COPIES=100 measured ~1.5 GB on disk); bench.py's
+# per-round scale point stays at the default 10x.
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+OUT_DIR = f"/tmp/scale{COPIES}x"
 
 # key columns shifted per copy so the key spaces stay disjoint
 KEY_OFFSETS: dict[str, list[str]] = {
@@ -131,7 +134,7 @@ def main() -> None:
             "overwrite"
         ).save()
         times = {}
-        for label, d in [("x1", BASE_SF), ("x10", OUT_DIR)]:
+        for label, d in [("x1", BASE_SF), (f"x{COPIES}", OUT_DIR)]:
             # min-of-two cold runs, same rationale as bench.py: a shared
             # 32-thread JVM occasionally drops a multi-second GC pause
             # into a single-shot measurement
@@ -142,17 +145,17 @@ def main() -> None:
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
             times[label] = round(min(runs), 3)
-        times["ratio"] = round(times["x10"] / times["x1"], 2)
+        times["ratio"] = round(times[f"x{COPIES}"] / times["x1"], 2)
         report[name] = times
         print(json.dumps({name: times}))
     total1 = sum(v["x1"] for v in report.values())
-    total10 = sum(v["x10"] for v in report.values())
+    totaln = sum(v[f"x{COPIES}"] for v in report.values())
     print(
         json.dumps(
             {
                 "total_x1_sec": round(total1, 2),
-                "total_x10_sec": round(total10, 2),
-                "total_ratio": round(total10 / total1, 2),
+                f"total_x{COPIES}_sec": round(totaln, 2),
+                "total_ratio": round(totaln / total1, 2),
             }
         )
     )
