@@ -14,10 +14,13 @@ from pyspark.sql import functions as F
 from feature_store_test_spark.data import load_table_spread as load_table
 from feature_store_test_spark.operators import text as Tx
 from feature_store_test_spark.operators.dedup import (
+    exact_collapse,
+    expand_rep_pairs,
     lsh_candidate_pairs,
     minhash_near_dups,
     minhash_signatures_arrays,
     shingle_array,
+    within_group_pairs,
 )
 from feature_store_test_spark.registry import register
 
@@ -539,9 +542,14 @@ def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     # shingle-level shuffles.
     from pyspark import StorageLevel
 
+    # exact-collapse first (operators/dedup.py minhash_near_dups): the
+    # audit runs on distinct texts only; within-group pairs are exactly
+    # (est=1, exact=1, err=0) and cross-group rows are pure functions of
+    # the two texts, so expansion through the dup-group map is exact.
+    groups, reps = exact_collapse(docs, "doc_id", "text")
     # exact side intersects xxhash64 arrays, not strings — same trade as
     # minhash_near_dups (narrower pair rows under high candidate density)
-    arr = shingle_array(docs, "doc_id", "text", n=3).select(
+    arr = shingle_array(reps, "doc_id", "text", n=3).select(
         "doc_id",
         "shingles",
         F.transform("shingles", lambda x: F.xxhash64(x)).alias("__sh64"),
@@ -570,7 +578,7 @@ def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     exact_raw = i.cast("double") / (
         F.size("arr_a") + F.size("arr_b") - i
     ).cast("double")
-    return (
+    rep_out = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -589,3 +597,17 @@ def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+    cross = expand_rep_pairs(
+        rep_out, groups, ["est_jaccard", "exact_jaccard", "abs_err"]
+    )
+    within = within_group_pairs(
+        groups,
+        sigs.select("doc_id"),
+        "doc_id",
+        {
+            "est_jaccard": F.lit(1.0),
+            "exact_jaccard": F.lit(1.0),
+            "abs_err": F.lit(0.0),
+        },
+    )
+    return cross.unionByName(within)
