@@ -242,38 +242,69 @@ _HAMMING_T = 2
     tags=("dedup", "simhash", "join"),
 )
 def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = q22_simhash(spark, sf_dir).select(
-        "doc_id", F.col("simhash16").alias("f")
+    """FINGERPRINT-collapsed pair generation (the q21 exact-collapse idea
+    taken further: collapse on the similarity key itself). A 16-bit
+    simhash has <= 65536 distinct values — 807 occur at sf0.1, and the
+    count is a property of the fingerprint space, NOT the corpus size.
+    The doc-level band self-join (previous form) degenerated because a
+    4-bit band has only 16 buckets corpus-wide: candidate rows grew
+    ~quadratically in docs and a .distinct() shuffled them all (measured
+    9.3s -> 749s from sf0.1 to the 10x replica, ratio 80x). Pairing
+    DISTINCT fingerprints instead bounds the band join + hamming check at
+    C(n_fp, 2) forever; doc pairs materialize as a pure explode of group
+    products straight into the sink — no distinct, no post-expansion
+    shuffle. Same-fingerprint groups expand as hamming-0 pairs. A 64-bit
+    simhash at 100 TB keeps the same shape with wider bands (16-bit bands
+    -> 65k buckets) over the distinct-fp table."""
+    from feature_store_test_spark.operators.dedup import ordered_pair_structs
+
+    fp = q22_simhash(spark, sf_dir).select("doc_id", F.col("simhash16").alias("f"))
+    fpg = fp.groupBy("f").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
     ).cache()
-    # pigeonhole bands: 4 bands × 4 bits; hamming<=2 ⇒ some band equal
-    banded = fp.select(
-        "doc_id", "f",
+    # pigeonhole bands over DISTINCT fingerprints: hamming<=2 with 4 bands
+    # of 4 bits ⇒ at least one band equal
+    banded = fpg.select(
+        "f",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), F.substring("f", 1 + 4 * b, 4).alias("val"))
                 for b in range(4)
             ])
         ).alias("e"),
-    ).select("doc_id", "f", F.col("e.band").alias("band"), F.col("e.val").alias("val"))
+    ).select("f", F.col("e.band").alias("band"), F.col("e.val").alias("val"))
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.val") == F.col("b.val"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-            F.col("a.f").alias("fa"), F.col("b.f").alias("fb"),
-        )
-        .distinct()
-    )
     hamming = sum(
         F.when(F.substring("fa", j, 1) != F.substring("fb", j, 1), 1).otherwise(0)
         for j in range(1, 17)
     ).cast("int")
-    return (
-        cands.withColumn("hamming", hamming)
+    fp_pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.f") < F.col("b.f")))
+        .select(F.col("a.f").alias("fa"), F.col("b.f").alias("fb"))
+        .distinct()
+        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= _HAMMING_T)
-        .select("id_a", "id_b", "hamming")
     )
+    ga = fpg.select(F.col("f").alias("fa"), F.col("ids").alias("__ids_a"))
+    gb = fpg.select(F.col("f").alias("fb"), F.col("ids").alias("__ids_b"))
+    cross = (
+        fp_pairs.join(ga, "fa")
+        .join(gb, "fb")
+        .select("hamming", F.explode("__ids_a").alias("__x"), "__ids_b")
+        .select("hamming", "__x", F.explode("__ids_b").alias("__y"))
+        .select(
+            F.least("__x", "__y").alias("id_a"),
+            F.greatest("__x", "__y").alias("id_b"),
+            "hamming",
+        )
+    )
+    within = (
+        fpg.where(F.size("ids") >= 2)
+        .select(F.explode(ordered_pair_structs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
