@@ -264,29 +264,36 @@ def ordered_pair_structs(ids: F.Column) -> F.Column:
 
 
 def exact_collapse(
-    df: DataFrame, id_col: str, text_col: str
+    arr_df: DataFrame, id_col: str, arr_col: str = "shingles"
 ) -> tuple[DataFrame, DataFrame]:
     """Exact-dup collapse for near-dedup pipelines: (groups, reps).
 
-    ``groups``: one row per distinct text — (__fp, __rep = min id,
-    __ids = sorted member ids). ``reps``: the original rows of the min-id
-    member per distinct text, selected via a semi join on the rep-id set
-    (a column of longs — AQE broadcasts it; document bodies never
-    shuffle). Identical texts are interchangeable under any content-pure
-    operator, so running the expensive stages on ``reps`` and expanding
-    through ``groups`` is exact — the production exact-before-near
-    ordering.
+    Collapses on the DISTINCT-SHINGLE-SET hash (xxhash64 of the sorted
+    array) rather than raw text: every downstream stage — signatures,
+    banding, verification, Jaccard — is a pure function of the shingle
+    set, so set-identical docs are fully interchangeable (a strictly
+    coarser, equally exact key than text identity). Computing the key
+    from the already-built array keeps the pipeline at ONE scan of the
+    corpus (callers persist ``arr_df``); collapsing on text would need a
+    second pass over document bodies.
+
+    ``groups``: one row per distinct set — (__fp, __rep = min id,
+    __ids = sorted member ids); only the (fp, id) pairs shuffle.
+    ``reps``: the min-id member's rows, selected via a semi join on the
+    rep-id set (a column of longs — AQE broadcasts it).
     """
-    base = df.select(F.col(id_col), F.col(text_col))
     groups = (
-        base.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("__fp"))
+        arr_df.select(
+            F.col(id_col),
+            F.xxhash64(F.array_sort(F.col(arr_col))).alias("__fp"),
+        )
         .groupBy("__fp")
         .agg(
             F.min(id_col).alias("__rep"),
             F.array_sort(F.collect_set(id_col)).alias("__ids"),
         )
     )
-    reps = base.join(
+    reps = arr_df.join(
         groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
     )
     return groups, reps
@@ -419,8 +426,22 @@ def minhash_near_dups(
     exactly the materialize-the-deduped-corpus pass production runs
     anyway.
     """
-    groups, reps = exact_collapse(df, id_col, text_col)
-    arr = shingle_array(reps, id_col, text_col, n=n).select(
+    arr0 = shingle_array(df, id_col, text_col, n=n)
+    if cache_shingles:
+        from pyspark import StorageLevel
+
+        arr0 = arr0.persist(StorageLevel.MEMORY_AND_DISK)
+    groups, reps = exact_collapse(arr0, id_col, "shingles")
+    if cache_shingles:
+        # the group map feeds the rep semi join, both expansion sides and
+        # the within-group explode — persist the (tiny) table or each
+        # consumer re-runs its aggregation
+        groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+    # the expensive projections — per-shingle md5 signatures and the
+    # xxhash64 verify fingerprints — run on representatives only; arr
+    # feeds three consumers (signatures + both verify sides), so persist
+    # it too when caching is on
+    arr = reps.select(
         F.col(id_col),
         F.col("shingles"),
         F.transform("shingles", lambda x: F.xxhash64(x)).alias("__sh64"),

@@ -574,13 +574,18 @@ def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark import StorageLevel
 
     # exact-collapse first (operators/dedup.py minhash_near_dups): the
-    # audit runs on distinct texts only; within-group pairs are exactly
-    # (est=1, exact=1, err=0) and cross-group rows are pure functions of
-    # the two texts, so expansion through the dup-group map is exact.
-    groups, reps = exact_collapse(docs, "doc_id", "text")
+    # audit runs on distinct shingle-sets only; within-group pairs are
+    # exactly (est=1, exact=1, err=0) and cross-group rows are pure
+    # functions of the two sets, so expansion through the group map is
+    # exact. One corpus scan: the collapse keys off the persisted array.
+    arr0 = shingle_array(docs, "doc_id", "text", n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    groups, reps = exact_collapse(arr0, "doc_id", "shingles")
+    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     # exact side intersects xxhash64 arrays, not strings — same trade as
     # minhash_near_dups (narrower pair rows under high candidate density)
-    arr = shingle_array(reps, "doc_id", "text", n=3).select(
+    arr = reps.select(
         "doc_id",
         "shingles",
         F.transform("shingles", lambda x: F.xxhash64(x)).alias("__sh64"),
