@@ -107,15 +107,53 @@ def q29_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup", "join"),
 )
 def q30_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-collapsed within the label bucket: the pairwise stage runs
+    over DISTINCT embedding vectors (groupBy on the array column — exact
+    equality, arrays are 256 B so the group shuffle is cheap) and doc
+    pairs expand through the group map. cos(v, v) is computed with the
+    same expression as any other pair, so identical-vector pairs carry
+    the identically-rounded value. On a corpus with duplicated vectors
+    (re-ingested shards, the 10x replica) the O(bucket²) similarity stage
+    shrinks by the duplication factor squared; with all-distinct vectors
+    it adds one cheap aggregation."""
+    from feature_store_test_spark.operators.dedup import ordered_pair_structs
+
     emb = load_table(spark, "embeddings", sf_dir).where(F.col("label") == 0)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    g = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("__rep"),
+        F.array_sort(F.collect_set("vec_id")).alias("__ids"),
+    ).cache()
+    a = g.select(
+        F.col("__rep").alias("ra"), F.col("embedding").alias("va"),
+        F.col("__ids").alias("__ids_a"),
+    )
+    b = g.select(
+        F.col("__rep").alias("rb"), F.col("embedding").alias("vb"),
+        F.col("__ids").alias("__ids_b"),
+    )
     sim = F.round(cosine("va", "vb"), 6)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cos_sim"))
+    rep_pairs = (
+        a.join(b, F.col("ra") < F.col("rb"))
+        .select("__ids_a", "__ids_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.25)
     )
+    cross = (
+        rep_pairs.select("cos_sim", F.explode("__ids_a").alias("__x"), "__ids_b")
+        .select("cos_sim", "__x", F.explode("__ids_b").alias("__y"))
+        .select(
+            F.least("__x", "__y").alias("id_a"),
+            F.greatest("__x", "__y").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    self_sim = F.round(cosine("embedding", "embedding"), 6)
+    within = (
+        g.where(F.size("__ids") >= 2)
+        .select(self_sim.alias("cos_sim"), F.explode(ordered_pair_structs(F.col("__ids"))).alias("p"))
+        .select("p.id_a", "p.id_b", "cos_sim")
+        .where(F.col("cos_sim") >= 0.25)
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
