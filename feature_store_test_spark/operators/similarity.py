@@ -585,7 +585,13 @@ def pq_ann_topk(
     4. The ADC top-``n_candidates`` per query are rescored with exact
        full-dimension cosine; output schema matches cosine_topk.
     """
-    codes = pq_encode(corpus, codebooks, vec_col).select(
+    # Arrow-form encode: the expression form's codes column is a large
+    # expression tree that downstream operators (posexplode -> join ->
+    # window) re-substitute during optimization — measured ~70s of pure
+    # driver-side analysis for the composed plan even at m*k=128. The
+    # mapInPandas encoder is a substitution barrier (downstream sees a
+    # plain column) with constant plan size at any codebook size.
+    codes = pq_encode_arrow(corpus, codebooks, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
     lut = _pq_lut(queries, codebooks, id_col, vec_col)
@@ -655,7 +661,9 @@ def ivfpq_ann_topk(
     the query itself when it is in the corpus), mirroring pq_ann_topk.
     """
     ca = ivf_assign(corpus, centroids, id_col, vec_col, 1, round_dp)
-    codes = pq_encode(
+    # Arrow-form encode — see pq_ann_topk: a plan-substitution barrier
+    # that keeps composed-plan analysis cost constant in codebook size
+    codes = pq_encode_arrow(
         ca.select(
             F.col("__id").alias("neighbor_id"),
             F.col("__v").alias(vec_col),

@@ -340,7 +340,11 @@ def q117_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q119_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    ws = F.split("text", " ")
+    # materialize the word array ONCE as a projected column — referencing
+    # split(...) from the slice/zip_with lambdas re-evaluates the split
+    # per element (the operators/dedup.py shingle trap)
+    words = docs.select("doc_id", F.split("text", " ").alias("__w"))
+    ws = F.col("__w")
     # adjacent-bigram distinct ratio without exploding: zip the word array
     # against itself shifted by one
     bgs = F.zip_with(
@@ -351,28 +355,35 @@ def q119_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_frac = F.when(F.size(bgs) == 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(bgs)).cast("double") / F.size(bgs)
     )
-    per_doc = docs.select(
+    # top-unigram count = longest run in the SORTED word array — a pure
+    # per-row fold, so the whole query is scan-side with ZERO shuffles
+    # (the explode -> two-groupBy form moved every token through an
+    # exchange: 5M shuffled rows and 11.7s at the 10x replica vs ~2s for
+    # this shape; at 100 TB this form is embarrassingly parallel). The ""
+    # accumulator sentinel is safe: a run starting at the first element
+    # still counts from 1 either way.
+    top_cnt = F.aggregate(
+        F.array_sort(ws),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    share = top_cnt.cast("double") / F.size(ws)
+    return words.select(
         "doc_id",
         F.size(ws).alias("n_tokens"),
-        dup_frac.alias("dup_bigram_frac"),
-        F.explode(ws).alias("w"),
-    )
-    # one doc_id exchange covers the (doc_id, w) count AND the per-doc max
-    # (hash clustering on a key prefix satisfies both requirements)
-    per_doc = per_doc.repartition(F.col("doc_id"))
-    counts = per_doc.groupBy(
-        "doc_id", "n_tokens", "dup_bigram_frac", "w"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    top = counts.groupBy("doc_id", "n_tokens", "dup_bigram_frac").agg(
-        F.max("cnt").alias("top_cnt")
-    )
-    share = F.col("top_cnt").cast("double") / F.col("n_tokens")
-    return top.select(
-        "doc_id",
-        "n_tokens",
         share.alias("top_unigram_share"),
-        "dup_bigram_frac",
-        ((share > 0.125) | (F.col("dup_bigram_frac") > 0.05)).alias("is_repetitive"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((share > 0.125) | (dup_frac > 0.05)).alias("is_repetitive"),
     )
 
 

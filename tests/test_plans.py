@@ -214,14 +214,16 @@ def test_q114_full_outer_joins_pre_aggregated_sides(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4
 
 
-def test_q119_bigrams_jvm_side_single_exchange(spark, sf_dir):
-    """Repetition signals: bigram dup-fraction is array math on the scan
-    side (no Python), and the (doc_id, w) count + per-doc max reuse ONE
-    doc_id hash exchange (the q101 shape)."""
+def test_q119_is_pure_scan_side(spark, sf_dir):
+    """Repetition signals: both signals are per-row array math (sorted-run
+    fold for the unigram mode, shifted zip for bigrams) — the plan must
+    have NO exchange and no Python at all."""
     plan = plan_of(spark, sf_dir, "q119_repetition_signals")
     assert "Python" not in plan
-    body = plan.split("AdaptiveSparkPlan")[-1]
-    assert body.count("Exchange hashpartitioning") == 1, plan
+    # the only allowed exchange is load_table_spread's round-robin DOP
+    # recovery over single-row-group local fixtures
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan, plan
 
 
 def test_q120_vocabulary_is_broadcast(spark, sf_dir):
