@@ -307,7 +307,14 @@ def ivf_train(
     unit = F.transform(
         F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
     )
-    fit_df = corpus.select(array_to_vector(unit).alias("__features"))
+    # coalesce the fit input to a few partitions: Lloyd runs max_iter
+    # distributed rounds, and on a request-sized training set the per-
+    # iteration task-scheduling floor dominates (measured ~20s of the
+    # 10x q104 on 32 tiny partitions). A FIXED partition count also pins
+    # the k-means|| init sample — and therefore the centroids — against
+    # session-parallelism changes. At billion-vector scale the fit input
+    # is a bounded sample anyway (faiss practice, like pq_train).
+    fit_df = corpus.select(array_to_vector(unit).alias("__features")).coalesce(4)
     model = KMeans(
         k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__features"
     ).fit(fit_df)
