@@ -326,3 +326,90 @@ def q104_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_train(emb, n_cells=8)
     books = pq_train(emb, m=8, k=16)
     return ivfpq_ann_topk(emb, queries, cents, books, k=5, n_probe=2, n_candidates=50)
+
+
+# ---------------------------------------------------------------------------
+# Q121 — semantic dedup end-to-end (SemDeDup, Abbas et al. 2023): bucket
+# the corpus (label = the stand-in for a trained cluster id), find
+# within-bucket cosine near-dup PAIRS, close them into FAMILIES
+# (connected components — chains A~B~C collapse even when A and C are far
+# apart), and keep ONE survivor per family (min vec_id). This is the
+# keep/drop decision an embedding-level curation pass feeds to training.
+# Pair generation reuses q30's identity collapse (distinct vectors only,
+# expanded through the group map), so duplicated shards never inflate the
+# O(bucket²) stage; components shuffle (node, label) pairs only. The
+# oracle replays the same fixpoint with a recursive CTE — different
+# algorithm, same unique labeling.
+# ---------------------------------------------------------------------------
+@register(
+    "q121_semantic_dedup",
+    oracle="""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    edges AS (
+      SELECT a.vec_id AS s, b.vec_id AS d
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                  6) >= 0.25
+    ),
+    und AS (SELECT s, d FROM edges UNION SELECT d AS s, s AS d FROM edges),
+    reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, u.d FROM reach r JOIN und u ON r.dst = u.s
+    )
+    SELECT src AS vec_id, MIN(dst) AS component, MIN(dst) = src AS is_survivor
+    FROM reach GROUP BY src
+    """,
+    doc="semantic dedup: bucketed cosine pairs -> component families -> keep-first survivors",
+    tags=("similarity", "dedup", "graph", "pipeline"),
+)
+def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.dedup import ordered_pair_structs
+    from feature_store_test_spark.operators.graph import connected_components
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    g = emb.groupBy("label", "embedding").agg(
+        F.min("vec_id").alias("__rep"),
+        F.array_sort(F.collect_set("vec_id")).alias("__ids"),
+    ).cache()
+    a = g.select(
+        "label", F.col("__rep").alias("ra"), F.col("embedding").alias("va"),
+        F.col("__ids").alias("__ids_a"),
+    )
+    b = g.select(
+        "label", F.col("__rep").alias("rb"), F.col("embedding").alias("vb"),
+        F.col("__ids").alias("__ids_b"),
+    )
+    rep_pairs = (
+        a.join(b, "label")
+        .where(F.col("ra") < F.col("rb"))
+        .where(F.round(cosine("va", "vb"), 6) >= 0.25)
+        .select("__ids_a", "__ids_b")
+    )
+    cross = (
+        rep_pairs.select(F.explode("__ids_a").alias("__x"), "__ids_b")
+        .select("__x", F.explode("__ids_b").alias("__y"))
+        .select(
+            F.least("__x", "__y").alias("id_a"),
+            F.greatest("__x", "__y").alias("id_b"),
+        )
+    )
+    within = (
+        g.where(F.size("__ids") >= 2)
+        .where(F.round(cosine("embedding", "embedding"), 6) >= 0.25)
+        .select(F.explode(ordered_pair_structs(F.col("__ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    edges = cross.unionByName(within)
+    comps = connected_components(edges, "id_a", "id_b")
+    return (
+        emb.select("vec_id")
+        .join(comps, emb.vec_id == comps.node, "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("component"),
+        )
+        .withColumn("is_survivor", F.col("component") == F.col("vec_id"))
+    )
