@@ -408,23 +408,57 @@ def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    grams = docs.where(F.size("toks") >= 8).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 7),
-                lambda i: F.array_join(F.slice("toks", i, 8), " "),
-            )
-        ).alias("gram"),
-    )
+    # three consumers re-scan the (column-pruned) parquet; persisting the
+    # tokenized table was measured slower — materializing toks arrays
+    # costs more than the repeated scans
+    long_docs = docs.where(F.size("toks") >= 8)
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 7),
+                    lambda i: F.array_join(F.slice("toks", i, 8), " "),
+                )
+            ).alias("gram"),
+        )
+
     eval_grams = (
-        grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+        grams_of(long_docs.where(F.col("doc_id") % 97 == 0))
+        .select("gram")
+        .distinct()
+    )
+    # exact-collapse on the train side (operators/dedup.py family):
+    # n_shared is a pure function of the token array and the eval gram
+    # set, so the gram explode + overlap join run once per DISTINCT train
+    # text and the count expands through the dup-group map. On a
+    # duplicate-heavy corpus (re-crawled pages; the replicas by
+    # construction) the contamination scan shrinks by the duplication
+    # factor; the eval slice (KBs-MBs of benchmark text) is never
+    # collapsed — its membership is id-defined.
+    train = long_docs.where(F.col("doc_id") % 97 != 0)
+    groups = (
+        train.select("doc_id", F.xxhash64("toks").alias("__fp"))
+        .groupBy("__fp")
+        .agg(
+            F.min("doc_id").alias("__rep"),
+            F.array_sort(F.collect_set("doc_id")).alias("__ids"),
+        )
+    )
+    reps = train.join(
+        groups.select(F.col("__rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    rep_shared = (
+        grams_of(reps)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy(F.col("doc_id").alias("__rep"))
+        .agg(F.countDistinct("gram").alias("n_shared"))
     )
     return (
-        grams.where(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(eval_grams), "gram")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("gram").alias("n_shared"))
+        rep_shared.join(groups.select("__rep", "__ids"), "__rep")
+        .select("n_shared", F.explode("__ids").alias("doc_id"))
+        .select("doc_id", "n_shared")
         .orderBy("doc_id")
     )
 
