@@ -338,27 +338,70 @@ def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "text", "join"),
 )
 def q66_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-collapsed like q21/q102: the window-fingerprint explode and
+    the digest self-join run once per DISTINCT text; cross-group pairs
+    inherit the rep pair's shared-window count, within-group pairs (exact
+    duplicates) share ALL of their distinct windows — both pure functions
+    of the two texts, expanded through the dup-group map."""
+    from feature_store_test_spark.operators.dedup import ordered_pair_structs
+
     docs = load_table(spark, "documents", sf_dir)
-    sh = (
-        docs.select("doc_id", F.split("text", " ").alias("t"))
-        .where(F.size("t") >= 8)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr("transform(sequence(1, size(t) - 7), i -> md5(array_join(slice(t, i, 8), ' ')))")
-            ).alias("h"),
-        )
-        .distinct()
+    t = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 8
     )
+    groups = (
+        t.select("doc_id", F.xxhash64("t").alias("__fp"))
+        .groupBy("__fp")
+        .agg(
+            F.min("doc_id").alias("__rep"),
+            F.array_sort(F.collect_set("doc_id")).alias("__ids"),
+        )
+    )
+    reps = t.join(groups.select(F.col("__rep").alias("doc_id")), "doc_id", "left_semi")
+    sh = reps.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 7), i -> md5(array_join(slice(t, i, 8), ' ')))")
+        ).alias("h"),
+    ).distinct()
     a = sh.select(F.col("doc_id").alias("id_a"), "h")
     b = sh.select(F.col("doc_id").alias("id_b"), "h")
-    return (
+    rep_pairs = (
         a.join(b, "h")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
         .where(F.col("shared_shingles") >= 2)
     )
+    ga = groups.select(F.col("__rep").alias("id_a"), F.col("__ids").alias("__ids_a"))
+    gb = groups.select(F.col("__rep").alias("id_b"), F.col("__ids").alias("__ids_b"))
+    cross = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("shared_shingles", F.explode("__ids_a").alias("__x"), "__ids_b")
+        .select("shared_shingles", "__x", F.explode("__ids_b").alias("__y"))
+        .select(
+            F.least("__x", "__y").alias("id_a"),
+            F.greatest("__x", "__y").alias("id_b"),
+            "shared_shingles",
+        )
+    )
+    # within an exact-dup group every pair shares ALL distinct windows of
+    # the text; the >= 2 filter applies to that count like any pair
+    wc = sh.groupBy(F.col("doc_id").alias("__rep")).agg(
+        F.count(F.lit(1)).alias("__n_windows")
+    )
+    within = (
+        groups.where(F.size("__ids") >= 2)
+        .join(wc, "__rep")
+        .where(F.col("__n_windows") >= 2)
+        .select(
+            F.col("__n_windows").alias("shared_shingles"),
+            F.explode(ordered_pair_structs(F.col("__ids"))).alias("p"),
+        )
+        .select("p.id_a", "p.id_b", F.col("shared_shingles").cast("long").alias("shared_shingles"))
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
