@@ -429,15 +429,26 @@ def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
         .distinct()
     )
-    # exact-collapse on the train side (operators/dedup.py family):
-    # n_shared is a pure function of the token array and the eval gram
-    # set, so the gram explode + overlap join run once per DISTINCT train
-    # text and the count expands through the dup-group map. On a
-    # duplicate-heavy corpus (re-crawled pages; the replicas by
-    # construction) the contamination scan shrinks by the duplication
-    # factor; the eval slice (KBs-MBs of benchmark text) is never
-    # collapsed — its membership is id-defined.
+    # ADAPTIVE exact-collapse on the train side (operators/dedup.py
+    # family): n_shared is a pure function of the token array and the
+    # eval gram set, so the gram explode + overlap join can run once per
+    # DISTINCT train text with the count expanded through the dup-group
+    # map. The memoized probe skips the group-map stages when the corpus
+    # has no duplicate token arrays (probe sorts arrays, so it can only
+    # over-trigger into the always-correct collapsed path); the eval
+    # slice (KBs-MBs of benchmark text) is never collapsed — its
+    # membership is id-defined.
+    from feature_store_test_spark.operators.dedup import has_duplicate_sets
+
     train = long_docs.where(F.col("doc_id") % 97 != 0)
+    if not has_duplicate_sets(train, "doc_id", "toks"):
+        return (
+            grams_of(train)
+            .join(F.broadcast(eval_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gram").alias("n_shared"))
+            .orderBy("doc_id")
+        )
     groups = (
         train.select("doc_id", F.xxhash64("toks").alias("__fp"))
         .groupBy("__fp")
