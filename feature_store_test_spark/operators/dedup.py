@@ -281,6 +281,14 @@ def exact_collapse(
     __ids = sorted member ids); only the (fp, id) pairs shuffle.
     ``reps``: the min-id member's rows, selected via a semi join on the
     rep-id set (a column of longs — AQE broadcasts it).
+
+    Fingerprint trade (same as ``minhash_near_dups``'s verify step): set
+    equality is decided by the 64-bit xxhash64, not by comparing arrays,
+    so a collision (P ≈ n²/2⁶⁵) would silently merge two different texts
+    into one "exact" group — and that label propagates to outputs that
+    report exact_jaccard=1.0 / shared-shingle counts. The standard
+    at-scale dedup trade; verify array equality inside colliding groups
+    if a workload can't accept it.
     """
     groups = (
         arr_df.select(
@@ -380,6 +388,7 @@ def jaccard_verify(
 
 
 _dup_probe_cache: dict[tuple, bool] = {}
+_DUP_PROBE_CACHE_MAX = 256
 
 
 def has_duplicate_sets(
@@ -393,6 +402,13 @@ def has_duplicate_sets(
     exact-collapse: a corpus with no duplicate sets skips the group-map
     machinery entirely (its ~0.5-1s of extra stages at the local per-job
     floor), while a duplicate-heavy corpus takes the collapsed path.
+
+    A wrong or stale cache hit (semanticHash is a 32-bit plan hash, and
+    files rewritten in-place under the same plan don't change it) is
+    PERF-ONLY by design: both branches of the adaptive collapse are
+    row-identical, the probe merely picks the cheaper one. The cache is
+    bounded (drops oldest entries past ``_DUP_PROBE_CACHE_MAX``) so a
+    long-lived session can't grow it without limit.
     """
     key = (
         arr_df.sparkSession.sparkContext.applicationId,
@@ -406,6 +422,8 @@ def has_duplicate_sets(
         F.countDistinct(F.xxhash64(F.array_sort(F.col(arr_col)))).alias("d"),
     ).collect()[0]
     has = row["n"] != row["d"]
+    if len(_dup_probe_cache) >= _DUP_PROBE_CACHE_MAX:
+        _dup_probe_cache.pop(next(iter(_dup_probe_cache)))
     _dup_probe_cache[key] = has
     return has
 
@@ -458,15 +476,17 @@ def minhash_near_dups(
     exactly the materialize-the-deduped-corpus pass production runs
     anyway.
     """
-    arr0 = shingle_array(df, id_col, text_col, n=n)
-    if cache_shingles:
-        from pyspark import StorageLevel
+    from pyspark import StorageLevel
 
-        arr0 = arr0.persist(StorageLevel.MEMORY_AND_DISK)
+    arr0 = shingle_array(df, id_col, text_col, n=n)
     # adaptive collapse (``collapse=None``): probe once per input identity
     # whether duplicate shingle-sets exist; without them the collapsed and
     # direct pipelines are identical row-for-row, so take the direct form
-    # and skip the group-map stages
+    # and skip the group-map stages. The probe runs on the UNpersisted
+    # shingle table (one extra source scan, memoized per input identity) so
+    # the direct path below caches the shingle arrays exactly ONCE — the
+    # previous form persisted both arr0 and the derived arr, doubling the
+    # largest cache in the pipeline.
     if collapse is None:
         collapse = has_duplicate_sets(arr0, id_col, "shingles")
     if not collapse:
@@ -482,6 +502,11 @@ def minhash_near_dups(
         return jaccard_verify_arrays(
             arr, pairs, id_col, arr_col="__sh64", threshold=threshold
         )
+    if cache_shingles:
+        # collapsed path: arr0 feeds both exact_collapse consumers (the
+        # group aggregation and the rep semi join) — one persist each for
+        # arr0 / groups / the rep-only arr, no table cached twice
+        arr0 = arr0.persist(StorageLevel.MEMORY_AND_DISK)
     groups, reps = exact_collapse(arr0, id_col, "shingles")
     if cache_shingles:
         # the group map feeds the rep semi join, both expansion sides and
@@ -498,8 +523,6 @@ def minhash_near_dups(
         F.transform("shingles", lambda x: F.xxhash64(x)).alias("__sh64"),
     )
     if cache_shingles:
-        from pyspark import StorageLevel
-
         arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures_arrays(arr, id_col, k=k)
     pairs = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands)

@@ -307,14 +307,26 @@ def ivf_train(
     unit = F.transform(
         F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
     )
-    # coalesce the fit input to a few partitions: Lloyd runs max_iter
-    # distributed rounds, and on a request-sized training set the per-
-    # iteration task-scheduling floor dominates (measured ~20s of the
-    # 10x q104 on 32 tiny partitions). A FIXED partition count also pins
-    # the k-means|| init sample — and therefore the centroids — against
-    # session-parallelism changes. At billion-vector scale the fit input
-    # is a bounded sample anyway (faiss practice, like pq_train).
-    fit_df = corpus.select(array_to_vector(unit).alias("__features")).coalesce(4)
+    # Pin the fit input's partition COMPOSITION and ORDER: k-means||'s
+    # init sample depends on both, and a bare coalesce only fixes the
+    # partition COUNT — composition still follows upstream split planning
+    # (maxPartitionBytes / defaultParallelism), so centroids could drift
+    # across session configs. Hash-repartitioning on the vector's own
+    # content plus a within-partition sort makes the fit — and therefore
+    # the centroids — reproducible for a fixed seed at any parallelism.
+    # 4 partitions also keeps Lloyd's max_iter rounds off the per-
+    # iteration task-scheduling floor (measured ~20s of the 10x q104 on
+    # 32 tiny partitions). At billion-vector scale the fit input is a
+    # bounded sample anyway (faiss practice, like pq_train).
+    fit_df = (
+        corpus.select(
+            array_to_vector(unit).alias("__features"),
+            F.xxhash64(unit).alias("__h"),
+        )
+        .repartition(4, "__h")
+        .sortWithinPartitions("__h")
+        .select("__features")
+    )
     model = KMeans(
         k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__features"
     ).fit(fit_df)
@@ -550,21 +562,34 @@ def _pq_lut(
     """Per-query ADC lookup table: LUT[j][c] = ||q_sub_j - centroid_jc||²,
     built driver-side (queries are request-sized by definition — the same
     broadcast discipline as cosine_topk) as a (query_id, j, code, d)
-    frame to broadcast-join against exploded corpus codes."""
+    frame to broadcast-join against exploded corpus codes.
+
+    The query_id field inherits ``id_col``'s type from ``queries``'s
+    schema (not a hardcoded long); a zero-norm query vector skips
+    normalization (distances become ||centroid||² — deterministic finite
+    ranks) instead of crashing on the division."""
+    from pyspark.sql import types as T
+
     d = len(codebooks[0][0])
     rows = []
     for r in queries.select(id_col, vec_col).collect():
         v = [float(x) for x in r[vec_col]]
         n = sum(x * x for x in v) ** 0.5
-        qv = [x / n for x in v]
+        qv = [x / n for x in v] if n else v
         for j, book in enumerate(codebooks):
             sub = qv[j * d : (j + 1) * d]
             for c, cent in enumerate(book):
                 dist = sum((a - b) * (a - b) for a, b in zip(sub, cent))
                 rows.append((r[id_col], j, c, dist))
-    return queries.sparkSession.createDataFrame(
-        rows, "query_id long, j int, code int, d double"
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("d", T.DoubleType()),
+        ]
     )
+    return queries.sparkSession.createDataFrame(rows, schema)
 
 
 def _pq_lut_wide(
@@ -580,23 +605,31 @@ def _pq_lut_wide(
     the ADC stage handles one row per (query, candidate) instead of m,
     and the m-way re-grouping shuffle disappears entirely (measured
     q103 13.6s -> ~4s at the 10x point). The fold sums in fixed j order,
-    so adist is bit-deterministic regardless of partitioning."""
+    so adist is bit-deterministic regardless of partitioning.
+
+    Same contracts as ``_pq_lut``: query_id inherits ``id_col``'s schema
+    type, and a zero-norm query skips normalization instead of crashing."""
+    from pyspark.sql import types as T
+
     d = len(codebooks[0][0])
-    k_cb = len(codebooks[0])
     rows = []
     for r in queries.select(id_col, vec_col).collect():
         v = [float(x) for x in r[vec_col]]
         n = sum(x * x for x in v) ** 0.5
-        qv = [x / n for x in v]
+        qv = [x / n for x in v] if n else v
         flat = []
         for j, book in enumerate(codebooks):
             sub = qv[j * d : (j + 1) * d]
             for cent in book:
                 flat.append(sum((a - b) * (a - b) for a, b in zip(sub, cent)))
         rows.append((r[id_col], flat))
-    return queries.sparkSession.createDataFrame(
-        rows, "query_id long, __lut array<double>"
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("__lut", T.ArrayType(T.DoubleType())),
+        ]
     )
+    return queries.sparkSession.createDataFrame(rows, schema)
 
 
 def _adc_fold(codes_col: str, lut_col: str, k_cb: int):
