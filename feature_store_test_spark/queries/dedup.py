@@ -214,6 +214,47 @@ def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then computed only on candidates. Complete w.r.t. the naive pair scan
 # (pigeonhole guarantee), which is exactly what the oracle runs.
 # ---------------------------------------------------------------------------
+def _simhash_fp_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint groups (f, ids = sorted member doc_ids), cached — the
+    shared base of the exploded (q39) and grouped (q39b) pair contracts."""
+    fp = q22_simhash(spark, sf_dir).select("doc_id", F.col("simhash16").alias("f"))
+    return fp.groupBy("f").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    ).cache()
+
+
+def _simhash_fp_pairs(fpg: DataFrame) -> DataFrame:
+    """(fa, fb, hamming) over DISTINCT fingerprints with hamming <=
+    ``_HAMMING_T`` via the band-pigeonhole candidate join. Bounded at
+    C(n_fp, 2) at ANY corpus size: the 16-bit fingerprint domain caps
+    n_fp at 65536 regardless of row count."""
+    # pigeonhole bands over DISTINCT fingerprints: hamming<=2 with 4 bands
+    # of 4 bits ⇒ at least one band equal
+    banded = fpg.select(
+        "f",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.substring("f", 1 + 4 * b, 4).alias("val"))
+                for b in range(4)
+            ])
+        ).alias("e"),
+    ).select("f", F.col("e.band").alias("band"), F.col("e.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = sum(
+        F.when(F.substring("fa", j, 1) != F.substring("fb", j, 1), 1).otherwise(0)
+        for j in range(1, 17)
+    ).cast("int")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.f") < F.col("b.f")))
+        .select(F.col("a.f").alias("fa"), F.col("b.f").alias("fb"))
+        .distinct()
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= _HAMMING_T)
+    )
+
+
+
 _HAMMING_T = 2
 
 @register(
@@ -255,37 +296,17 @@ def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     products straight into the sink — no distinct, no post-expansion
     shuffle. Same-fingerprint groups expand as hamming-0 pairs. A 64-bit
     simhash at 100 TB keeps the same shape with wider bands (16-bit bands
-    -> 65k buckets) over the distinct-fp table."""
+    -> 65k buckets) over the distinct-fp table.
+
+    OUTPUT CONTRACT CAVEAT: the exploded per-doc-pair rows are O(dup²) —
+    on a dense corpus the OUTPUT dominates the plan (522.8M pairs at the
+    10x replica). ``q39b_simhash_groups`` is the bounded contract (one
+    row per fingerprint pair + member arrays) that scales to any corpus;
+    this exploded form is its derived view."""
     from feature_store_test_spark.operators.dedup import ordered_pair_structs
 
-    fp = q22_simhash(spark, sf_dir).select("doc_id", F.col("simhash16").alias("f"))
-    fpg = fp.groupBy("f").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("ids")
-    ).cache()
-    # pigeonhole bands over DISTINCT fingerprints: hamming<=2 with 4 bands
-    # of 4 bits ⇒ at least one band equal
-    banded = fpg.select(
-        "f",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.substring("f", 1 + 4 * b, 4).alias("val"))
-                for b in range(4)
-            ])
-        ).alias("e"),
-    ).select("f", F.col("e.band").alias("band"), F.col("e.val").alias("val"))
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = sum(
-        F.when(F.substring("fa", j, 1) != F.substring("fb", j, 1), 1).otherwise(0)
-        for j in range(1, 17)
-    ).cast("int")
-    fp_pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.val") == F.col("b.val"))
-               & (F.col("a.f") < F.col("b.f")))
-        .select(F.col("a.f").alias("fa"), F.col("b.f").alias("fb"))
-        .distinct()
-        .withColumn("hamming", hamming)
-        .where(F.col("hamming") <= _HAMMING_T)
-    )
+    fpg = _simhash_fp_groups(spark, sf_dir)
+    fp_pairs = _simhash_fp_pairs(fpg)
     ga = fpg.select(F.col("f").alias("fa"), F.col("ids").alias("__ids_a"))
     gb = fpg.select(F.col("f").alias("fb"), F.col("ids").alias("__ids_b"))
     cross = (
@@ -303,6 +324,96 @@ def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fpg.where(F.size("ids") >= 2)
         .select(F.explode(ordered_pair_structs(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(within)
+
+
+# ---------------------------------------------------------------------------
+# Q39b — the BOUNDED simhash near-dup contract: one row per fingerprint
+# pair (plus one per multi-member fingerprint), carrying the member-id
+# arrays and the implied doc-pair count. Same information as q39's
+# exploded rows, but the output is O(n_fp²) ≤ C(65536, 2) at ANY corpus
+# size instead of O(dup²) — at the 10x replica q39 emits 522.8M rows
+# where this form emits ~3k. The exploded view stays available as q39
+# (one explode away); downstream dedup keep/drop decisions only need the
+# group arrays anyway.
+# ---------------------------------------------------------------------------
+_Q39_FP_CTE = f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, j,
+             SUM(strpos('0123456789abcdef', substr(md5(w), j, 1)) - 1 - 7.5) AS v
+      FROM tok, unnest(generate_series(1, 16)) AS p(j)
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS f
+      FROM votes GROUP BY doc_id
+    ),
+    fpg AS (
+      SELECT f, array_agg(doc_id ORDER BY doc_id) AS ids, COUNT(*) AS n
+      FROM fp GROUP BY f
+    )
+"""
+
+_Q39_HAMMING = " + ".join(
+    f"CASE WHEN substr(a.f,{j},1) <> substr(b.f,{j},1) THEN 1 ELSE 0 END"
+    for j in range(1, 17)
+)
+
+
+@register(
+    "q39b_simhash_groups",
+    oracle=f"""
+    {_Q39_FP_CTE}
+    SELECT a.f AS fp_a, b.f AS fp_b,
+           CAST(({_Q39_HAMMING}) AS INT) AS hamming,
+           a.ids AS ids_a, b.ids AS ids_b,
+           CAST(a.n * b.n AS BIGINT) AS n_pairs
+    FROM fpg a JOIN fpg b ON a.f < b.f
+    WHERE ({_Q39_HAMMING}) <= {_HAMMING_T}
+    UNION ALL
+    SELECT f, f, 0, ids, ids, CAST(n * (n - 1) // 2 AS BIGINT)
+    FROM fpg WHERE n >= 2
+    """,
+    doc=f"bounded simhash near-dup contract: fingerprint pairs (hamming <= {_HAMMING_T}) + member-id arrays",
+    tags=("dedup", "simhash", "join"),
+)
+def q39b_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped (bounded-output) form of q39 — see the block comment above.
+    Cross-fingerprint rows pair distinct fingerprints within hamming
+    <= 2; same-fingerprint rows (fp_a = fp_b, hamming 0) list groups
+    with >= 2 members. ``n_pairs`` is the doc-pair count the exploded
+    view would emit for the row (n_a·n_b across groups, C(n, 2) within),
+    so Σ n_pairs audits the exploded cardinality without materializing
+    it."""
+    fpg = _simhash_fp_groups(spark, sf_dir)
+    fp_pairs = _simhash_fp_pairs(fpg)
+    ga = fpg.select(F.col("f").alias("fa"), F.col("ids").alias("ids_a"))
+    gb = fpg.select(F.col("f").alias("fb"), F.col("ids").alias("ids_b"))
+    cross = (
+        fp_pairs.join(ga, "fa")
+        .join(gb, "fb")
+        .select(
+            F.col("fa").alias("fp_a"),
+            F.col("fb").alias("fp_b"),
+            "hamming",
+            "ids_a",
+            "ids_b",
+            (F.size("ids_a").cast("bigint") * F.size("ids_b")).alias("n_pairs"),
+        )
+    )
+    n = F.size("ids").cast("bigint")
+    within = fpg.where(F.size("ids") >= 2).select(
+        F.col("f").alias("fp_a"),
+        F.col("f").alias("fp_b"),
+        F.lit(0).cast("int").alias("hamming"),
+        F.col("ids").alias("ids_a"),
+        F.col("ids").alias("ids_b"),
+        (n * (n - 1) / F.lit(2)).cast("bigint").alias("n_pairs"),
     )
     return cross.unionByName(within)
 
