@@ -139,7 +139,7 @@ class ANNIndex:
             .select(
                 "query_id",
                 "neighbor_id",
-                _adc_fold("codes", "__lut", len(self.codebooks[0])).alias("adist"),
+                _adc_fold("codes", "__lut", len(self.codebooks[0]), len(self.codebooks)).alias("adist"),
             )
         )
         wc = Window.partitionBy("query_id").orderBy(F.col("adist"), "neighbor_id")

@@ -284,3 +284,57 @@ def test_pq_encode_arrow_matches_expression_path(spark, sf_dir):
     assert expr == arrow
     # every code is a valid centroid index
     assert all(0 <= c < 16 for codes in arrow.values() for c in codes)
+
+
+def test_train_memoization(spark, sf_dir):
+    """ivf/pq/pca training memoizes per (application id, input plan,
+    params): a repeated call with identical inputs returns the cached
+    artifact without refitting (registered ANN queries pay training once
+    per session), while changed params or a changed input plan miss."""
+    from feature_store_test_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    S._train_cache.clear()
+    b1 = S.pq_train(emb, m=8, k=16, seed=7, sample_size=500)
+    n_after_first = len(S._train_cache)
+    b2 = S.pq_train(emb, m=8, k=16, seed=7, sample_size=500)
+    assert b2 is b1  # cache hit returns the SAME artifact, no refit
+    assert len(S._train_cache) == n_after_first
+    # changed params -> new fit
+    b3 = S.pq_train(emb, m=8, k=16, seed=8, sample_size=500)
+    assert b3 is not b1
+    # changed input plan -> new fit
+    b4 = S.pq_train(emb.where(F.col("vec_id") < 400), m=8, k=16, seed=7, sample_size=500)
+    assert b4 is not b1
+
+    c1 = S.pca_train(emb, k=4)
+    assert S.pca_train(emb, k=4) is c1
+
+    # ivf_train returns a rebuilt DataFrame, but the fitted rows are cached
+    r1 = sorted(map(tuple, S.ivf_train(emb, n_cells=8, seed=42).collect()))
+    key_count = len(S._train_cache)
+    r2 = sorted(map(tuple, S.ivf_train(emb, n_cells=8, seed=42).collect()))
+    assert r1 == r2 and len(S._train_cache) == key_count
+
+
+def test_cosine_topk_arrow_matches_fold(spark, sf_dir):
+    """The GEMM-path brute-force top-k must return the same ranked result
+    set as the ordered-fold operator: per-chunk candidate emission keeps
+    every row tied at the cutoff, and the 6-dp round absorbs GEMM
+    accumulation-order ulps."""
+    from feature_store_test_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {tuple(r) for r in cosine_topk(emb, queries, k=5).collect()}
+    gemm = {tuple(r) for r in cosine_topk_arrow(emb, queries, k=5).collect()}
+    assert gemm == exact
+    # tiny-chunk path: per-chunk thresholds + global re-rank still exact
+    small = {
+        tuple(r)
+        for r in cosine_topk_arrow(emb, queries, k=5, chunk_bytes=80_000).collect()
+    }
+    assert small == exact
