@@ -70,15 +70,31 @@ def main() -> None:
 
     # Local-bench scan parallelism: the sf0.1 files are ~1-10 MB, so the
     # 128 MB default split yields 1-3 scan partitions on a 32-thread local
-    # master. 4 MB splits spread the scan; a real cluster at 100 TB keeps
+    # master. Small splits spread the scan; a real cluster at 100 TB keeps
     # the default (128 MB splits ≈ one task per HDFS/S3 block).
     spark = get_spark(
         app_name="fsts-bench",
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.maxPartitionBytes": "16m",
             "spark.sql.files.openCostInBytes": "512k",
         },
     )
+
+    # Partition counts sized to the DATA, the same discipline a 100 TB
+    # deployment applies in the opposite direction (brief: size
+    # shuffle.partitions/maxPartitionBytes to the target SF). At sf0.1 a
+    # post-shuffle stage holds ~KBs per partition, so 32 shuffle
+    # partitions mean 32 near-empty tasks per stage and the per-task
+    # floor dominates — 8 partitions measured ~20% faster over the
+    # headline set with identical results. The 10x replica gets the
+    # wider layout (32 partitions, 4 MB splits) that measured best there.
+    def _set_profile(sh: int, split_bytes: int) -> None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sh))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
+
+    BASE_PROFILE = (8, 16 * 1024 * 1024)
+    SCALE_PROFILE = (32, 4 * 1024 * 1024)
+    _set_profile(*BASE_PROFILE)
     specs = all_queries()
 
     # build (or reuse) the 10x replica BEFORE any timing so its write jobs
@@ -127,12 +143,37 @@ def main() -> None:
             out[name] = round(min(runs), 3)
         return out
 
+    def count_jobs(data_dir: str) -> dict[str, int]:
+        # Spark-job counts per query — the floor evidence: at sf0.1 most
+        # headline queries are bounded by (jobs × per-job scheduling
+        # floor), not compute; an embedded engine pays neither. Counted
+        # on an extra untimed pass so the instrumentation never lands in
+        # a measured window.
+        tracker = spark.sparkContext.statusTracker()
+        out: dict[str, int] = {}
+        for name in HEADLINE:
+            before = len(tracker.getJobIdsForGroup(None) or [])
+            specs[name].fn(spark, data_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = len(tracker.getJobIdsForGroup(None) or []) - before
+            spark.catalog.clearCache()
+        return out
+
     # min-of-THREE at the base SF: sub-second queries on a shared 32-thread
     # JVM still showed 2-3x one-off outliers surviving min-of-two (GC debt
     # from neighboring queries); a third run costs ~17s here and is not
     # worth it at the 10x point where queries run long enough to dominate
     # their noise.
     timings = time_spark(sf_dir, n_runs=3)
+    job_counts = count_jobs(sf_dir)
+    # per-job scheduling floor: a minimal 1-job query, min-of-5
+    floor_runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        floor_runs.append(time.perf_counter() - t0)
+    per_job_floor_sec = round(min(floor_runs), 4)
 
     # Single-node columnar baseline: run each headline query's DuckDB oracle
     # SQL on the same parquet at the same SF (DuckDB uses all cores, fully
@@ -172,8 +213,10 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         time.sleep(2.0)
+        _set_profile(*SCALE_PROFILE)
         scale_spark = time_spark(scale_dir)
         scale_duck = time_duckdb(scale_dir)
+        _set_profile(*BASE_PROFILE)
         s_tot = round(sum(scale_spark.values()), 3)
         d_tot = round(sum(scale_duck.values()), 3)
         scale10x = {
@@ -294,6 +337,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "duckdb_total_sec": round(sum(duck_timings.values()), 3),
+        # scheduling-floor evidence: total Spark jobs across the headline
+        # set × the measured per-job floor — the fixed overhead an
+        # embedded engine never pays (full per-query counts in the
+        # BENCH_SELF.json sidecar)
+        "job_floor": {
+            "per_job_sec": per_job_floor_sec,
+            "total_jobs": sum(job_counts.values()),
+            "implied_floor_sec": round(
+                per_job_floor_sec * sum(job_counts.values()), 2
+            ),
+        },
         "scale10x": scale10x,
         "throughput": throughput,
         "sf": sf_val,
@@ -303,6 +357,9 @@ def main() -> None:
     detail = dict(result)
     detail["duckdb_queries"] = duck_timings
     detail["scale10x_queries"] = scale_detail
+    # floor evidence: most sub-second sf0.1 entries are ~job_count × floor
+    detail["job_counts"] = job_counts
+    detail["per_job_floor_sec"] = per_job_floor_sec
     self_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
     )

@@ -387,45 +387,53 @@ def jaccard_verify(
     )
 
 
-_dup_probe_cache: dict[tuple, bool] = {}
+_dup_probe_cache: dict[tuple, float] = {}
 _DUP_PROBE_CACHE_MAX = 256
 
 
 def has_duplicate_sets(
-    arr_df: DataFrame, id_col: str, arr_col: str = "shingles"
+    arr_df: DataFrame,
+    id_col: str,
+    arr_col: str = "shingles",
+    min_frac: float = 0.0,
 ) -> bool:
-    """One-job probe: does ``arr_df`` contain duplicate (sorted) arrays?
+    """One-job probe: is ``arr_df``'s duplicate-(sorted)-array fraction
+    above ``min_frac``?
 
     Memoized on (application id, plan semanticHash) — repeated pipeline
     invocations over the same memoized reader plan (bench min-of-N loops,
-    the driver's per-query runs) pay the probe once. Drives the ADAPTIVE
-    exact-collapse: a corpus with no duplicate sets skips the group-map
-    machinery entirely (its ~0.5-1s of extra stages at the local per-job
-    floor), while a duplicate-heavy corpus takes the collapsed path.
+    the driver's per-query runs) pay the probe once; the cached value is
+    the FRACTION, so callers with different thresholds share one probe.
+    Drives the ADAPTIVE exact-collapse COST-BASED: the group-map
+    machinery adds ~10 stage-jobs of fixed overhead (~0.5-1s at the
+    local per-job floor) and pays off proportionally to the duplication
+    factor, so a corpus with trace-level duplication (a handful of dup
+    docs in thousands — measured 0.16% on the sf0.1 fixture) takes the
+    direct path, while a crawl-shaped corpus (30-90% dups, like the
+    10x/100x replicas) takes the collapsed one. Both branches are
+    row-identical; the threshold only moves the crossover.
 
     A wrong or stale cache hit (semanticHash is a 32-bit plan hash, and
     files rewritten in-place under the same plan don't change it) is
-    PERF-ONLY by design: both branches of the adaptive collapse are
-    row-identical, the probe merely picks the cheaper one. The cache is
-    bounded (drops oldest entries past ``_DUP_PROBE_CACHE_MAX``) so a
-    long-lived session can't grow it without limit.
+    PERF-ONLY by design. The cache is bounded (drops oldest entries past
+    ``_DUP_PROBE_CACHE_MAX``) so a long-lived session can't grow it
+    without limit.
     """
     key = (
         arr_df.sparkSession.sparkContext.applicationId,
         arr_df.semanticHash(),
     )
-    hit = _dup_probe_cache.get(key)
-    if hit is not None:
-        return hit
-    row = arr_df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct(F.xxhash64(F.array_sort(F.col(arr_col)))).alias("d"),
-    ).collect()[0]
-    has = row["n"] != row["d"]
-    if len(_dup_probe_cache) >= _DUP_PROBE_CACHE_MAX:
-        _dup_probe_cache.pop(next(iter(_dup_probe_cache)))
-    _dup_probe_cache[key] = has
-    return has
+    frac = _dup_probe_cache.get(key)
+    if frac is None:
+        row = arr_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.xxhash64(F.array_sort(F.col(arr_col)))).alias("d"),
+        ).collect()[0]
+        frac = (row["n"] - row["d"]) / row["n"] if row["n"] else 0.0
+        if len(_dup_probe_cache) >= _DUP_PROBE_CACHE_MAX:
+            _dup_probe_cache.pop(next(iter(_dup_probe_cache)))
+        _dup_probe_cache[key] = frac
+    return frac > min_frac
 
 
 def minhash_near_dups(
@@ -488,7 +496,9 @@ def minhash_near_dups(
     # previous form persisted both arr0 and the derived arr, doubling the
     # largest cache in the pipeline.
     if collapse is None:
-        collapse = has_duplicate_sets(arr0, id_col, "shingles")
+        # cost-based crossover: the group-map stages only pay off when the
+        # pipeline shrinks materially (see has_duplicate_sets docstring)
+        collapse = has_duplicate_sets(arr0, id_col, "shingles", min_frac=0.05)
     if not collapse:
         arr = arr0.select(
             F.col(id_col),

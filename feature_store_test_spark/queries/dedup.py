@@ -727,19 +727,28 @@ def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     # shingle-level shuffles.
     from pyspark import StorageLevel
 
-    # exact-collapse first (operators/dedup.py minhash_near_dups): the
+    from feature_store_test_spark.operators.dedup import has_duplicate_sets
+
+    # ADAPTIVE exact-collapse (operators/dedup.py minhash_near_dups): the
     # audit runs on distinct shingle-sets only; within-group pairs are
     # exactly (est=1, exact=1, err=0) and cross-group rows are pure
     # functions of the two sets, so expansion through the group map is
-    # exact. One corpus scan: the collapse keys off the persisted array.
-    arr0 = shingle_array(docs, "doc_id", "text", n=3).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    groups, reps = exact_collapse(arr0, "doc_id", "shingles")
-    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+    # exact. Cost-based like minhash_near_dups: below the duplication
+    # threshold the direct pipeline (identical rows, ~10 fewer stage-jobs)
+    # wins; dup docs it still meets produce their (1, 1, 0) rows through
+    # the ordinary candidate path.
+    arr0 = shingle_array(docs, "doc_id", "text", n=3)
+    collapse = has_duplicate_sets(arr0, "doc_id", "shingles", min_frac=0.05)
+    if collapse:
+        arr0 = arr0.persist(StorageLevel.MEMORY_AND_DISK)
+        groups, reps = exact_collapse(arr0, "doc_id", "shingles")
+        groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+        base = reps
+    else:
+        base = arr0
     # exact side intersects xxhash64 arrays, not strings — same trade as
     # minhash_near_dups (narrower pair rows under high candidate density)
-    arr = reps.select(
+    arr = base.select(
         "doc_id",
         "shingles",
         F.transform("shingles", lambda x: F.xxhash64(x)).alias("__sh64"),
@@ -787,6 +796,8 @@ def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+    if not collapse:
+        return rep_out
     cross = expand_rep_pairs(
         rep_out, groups, ["est_jaccard", "exact_jaccard", "abs_err"]
     )

@@ -441,7 +441,7 @@ def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_test_spark.operators.dedup import has_duplicate_sets
 
     train = long_docs.where(F.col("doc_id") % 97 != 0)
-    if not has_duplicate_sets(train, "doc_id", "toks"):
+    if not has_duplicate_sets(train, "doc_id", "toks", min_frac=0.05):
         return (
             grams_of(train)
             .join(F.broadcast(eval_grams), "gram")
