@@ -217,3 +217,88 @@ def q118_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q122 — REAL PNG codec end to end (the q118 pattern for images): each doc
+# synthesizes a deterministic RGB image (pixels are a closed-form function
+# of doc_id), the Spark side round-trips it through ACTUAL PNG bytes —
+# encode_png builds zlib-compressed IDAT with MIXED per-row filters (every
+# unfilter branch: None/Sub/Up/Average/Paeth runs in-pipeline), and
+# image_features walks the chunks, CRC-checks, inflates and unfilters
+# (operators/codecs.py decode_png; stdlib zlib + numpy, no stub) — while
+# the oracle computes the same channel means directly from the closed
+# form. Integer sums are exact in doubles, so means are bit-identical
+# across engines before the 6-dp round.
+# ---------------------------------------------------------------------------
+@register(
+    "q122_image_codec",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, c.c AS c,
+             CAST((doc_id * 3 + y.y * 7 + x.x * 11 + c.c * 13) % 256 AS DOUBLE) AS v
+      FROM d,
+           unnest(generate_series(0, h - 1)) AS y(y),
+           unnest(generate_series(0, w - 1)) AS x(x),
+           unnest(generate_series(0, 2)) AS c(c)
+    )
+    SELECT doc_id,
+           CAST(MIN(w) AS INT) AS width,
+           CAST(MIN(h) AS INT) AS height,
+           CAST(24 AS INT) AS bpp,
+           ROUND(AVG(CASE WHEN c = 0 THEN v END), 6) AS mean_r,
+           ROUND(AVG(CASE WHEN c = 1 THEN v END), 6) AS mean_g,
+           ROUND(AVG(CASE WHEN c = 2 THEN v END), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL PNG decode (zlib inflate + all 5 unfilters) vs closed-form pixel oracle",
+    tags=("multimodal", "codec", "udf"),
+)
+def q122_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from feature_store_test_spark.operators.multimodal import image_features
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 200)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from feature_store_test_spark.operators.codecs import encode_png
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 8 + did % 5, 6 + did % 3
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                px = ((did * 3 + y * 7 + x * 11 + c * 13) % 256).astype(np.uint8)
+                blobs.append(encode_png(px, filter_type="mixed"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    pngs = docs.select("doc_id").mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("blob", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = image_features(pngs)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "bpp",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

@@ -127,3 +127,103 @@ def test_spark_audio_and_image_features(spark):
         assert got[i]["height"] == 4 + i
         assert got[i]["mean_g"] == pytest.approx(px[:, :, 1].mean(), abs=1e-9)
         assert got[i]["decode_error"] is None
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    nch=st.sampled_from([0, 3, 4]),  # 0 = grayscale (h, w)
+    ft=st.sampled_from(["none", "sub", "up", "average", "paeth", "mixed"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_all_filters(w, h, nch, ft, seed):
+    """encode -> decode is exact for every filter type and color layout:
+    the unfilter branches (None/Sub/Up/Average/Paeth) must reconstruct
+    the precise pixels, verified through the channel means of uint8
+    noise (any reconstruction slip moves a mean)."""
+    from feature_store_test_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if nch == 0 else (h, w, nch)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    got = decode_png(encode_png(px, filter_type=ft))
+    assert (got["width"], got["height"]) == (w, h)
+    if nch == 0:
+        exp = [float(px.astype(np.float64).mean())] * 3
+        assert got["bpp"] == 8
+    else:
+        exp = [float(px[:, :, c].astype(np.float64).mean()) for c in range(3)]
+        assert got["bpp"] == nch * 8
+    for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+        assert got[name] == pytest.approx(exp[c], abs=1e-9)
+
+
+def test_png_rejects_corruption():
+    from feature_store_test_spark.operators.codecs import decode_png, encode_png
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = bytearray(encode_png(px))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + bytes(good[4:]))
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+
+def test_png_palette_decode():
+    """Color type 3: indices map through the PLTE chunk."""
+    import struct
+    import zlib
+
+    from feature_store_test_spark.operators.codecs import decode_png
+
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 4, size=(3, 5), dtype=np.uint8)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    exp = pal[idx].astype(np.float64)
+    assert got["mean_r"] == pytest.approx(exp[:, :, 0].mean(), abs=1e-9)
+    assert got["mean_b"] == pytest.approx(exp[:, :, 2].mean(), abs=1e-9)
+
+
+def test_spark_image_features_png(spark):
+    """image_features decodes real PNG blobs through the Arrow path,
+    alongside BMP in the same frame (sniff-and-decode per row)."""
+    from feature_store_test_spark.operators.codecs import encode_bmp, encode_png
+    from feature_store_test_spark.operators.multimodal import image_features
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(3)
+    p1 = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    p2 = rng.integers(0, 256, size=(4, 7, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(p1, filter_type="mixed"))),
+        (2, bytearray(encode_bmp(p2))),
+        (3, bytearray(b"nonsense")),
+    ]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("blob", T.BinaryType())]
+    )
+    out = {r["doc_id"]: r for r in image_features(spark.createDataFrame(rows, schema)).collect()}
+    assert out[1]["decode_error"] is None
+    assert (out[1]["width"], out[1]["height"]) == (9, 6)
+    assert out[1]["mean_g"] == pytest.approx(p1[:, :, 1].astype(np.float64).mean())
+    assert (out[2]["width"], out[2]["height"]) == (7, 4)
+    assert out[3]["decode_error"] is not None and out[3]["width"] is None
