@@ -10,10 +10,14 @@ job snapshots the online view, then every lookup is a local dict probe
 (microseconds, no job).
 
 Scale design (100 TB): the snapshot is the ONLINE view — one row per key,
-never history — so its size is key cardinality, not event volume. The same
-pattern shards horizontally: a fleet of serving processes each hold one
-hash shard of the view (``online_view().where(pmod(hash(key), N) == i)``);
-this single-process form is the one-shard case. What does NOT scale is
+never history — so its size is key cardinality, not event volume. Beyond
+one process, the view shards horizontally: a fleet of N serving processes
+each construct ``ServingSession(fg, n_shards=N, shard=i)`` and hold only
+the keys whose ``shard_of(key, N)`` equals ``i`` (~1/N of the view each).
+The shard function is md5-based so a router — which has no Spark — computes
+the same shard id client-side (``ServingSession.shard_of``) to address the
+right process; the Spark-side filter is the identical expression, so the
+fleet partitions the key space exactly. What does NOT scale is
 snapshotting history or using this for analytical scans — those stay
 Spark-side.
 
@@ -25,25 +29,59 @@ no-op when the table version is unchanged.
 
 from __future__ import annotations
 
+import hashlib
 from typing import Any, Iterable
+
+from pyspark.sql import functions as F
 
 from feature_store_test_spark.store.feature_group import FeatureGroup
 
 
 class ServingSession:
-    """Request-path key lookups against a snapshot of the online view."""
+    """Request-path key lookups against a snapshot of the online view.
+
+    ``n_shards``/``shard`` select one hash shard of the key space (the
+    default 1/0 is the single-process whole-view form). A lookup for a
+    key this shard does not own returns None like an absent key — route
+    with ``shard_of`` first; ``owns`` makes misrouting detectable.
+    """
 
     def __init__(
-        self, feature_group: FeatureGroup, strict_event_time: bool = False
+        self,
+        feature_group: FeatureGroup,
+        strict_event_time: bool = False,
+        n_shards: int = 1,
+        shard: int = 0,
     ) -> None:
+        if n_shards < 1 or not (0 <= shard < n_shards):
+            raise ValueError(f"invalid shard {shard}/{n_shards}")
         self._fg = feature_group
         self._strict = strict_event_time
+        self.n_shards = n_shards
+        self.shard = shard
         self._records: dict[Any, dict] = {}
         self.version: int | None = None
         self.refresh()
 
+    @staticmethod
+    def shard_of(key_value, n_shards: int) -> int:
+        """Shard id for a key — pure Python, so request routers compute it
+        without Spark. Matches the snapshot filter bit-for-bit: first 15
+        md5 hex digits of ``str(key)`` as an integer, mod ``n_shards``
+        (15 hex digits = 60 bits, inside BIGINT for the SQL side)."""
+        digest = hashlib.md5(str(key_value).encode()).hexdigest()[:15]
+        return int(digest, 16) % n_shards
+
+    def _shard_filter(self, key: str) -> F.Column:
+        """The JVM-side twin of ``shard_of`` (conv(md5-prefix) % N)."""
+        h = F.conv(
+            F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        return F.pmod(h, F.lit(self.n_shards)) == F.lit(self.shard)
+
     def refresh(self, force: bool = False) -> bool:
-        """Re-snapshot the online view; True when a new snapshot was taken.
+        """Re-snapshot this shard of the online view; True when a new
+        snapshot was taken.
 
         Skips the Spark job when the table's commit version is unchanged
         (the snapshot is already current) unless ``force``.
@@ -52,13 +90,20 @@ class ServingSession:
         if not force and self.version == current:
             return False
         key = self._fg.key_col
-        rows = self._fg.online_view(strict_event_time=self._strict).collect()
+        view = self._fg.online_view(strict_event_time=self._strict)
+        if self.n_shards > 1:
+            view = view.where(self._shard_filter(key))
+        rows = view.collect()
         self._records = {r[key]: r.asDict() for r in rows}
         self.version = current
         return True
 
     def __len__(self) -> int:
         return len(self._records)
+
+    def owns(self, key_value) -> bool:
+        """Does this shard serve ``key_value``? (Routing sanity check.)"""
+        return self.shard_of(key_value, self.n_shards) == self.shard
 
     def exists(self, key_value) -> bool:
         return key_value in self._records

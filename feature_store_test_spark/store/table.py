@@ -18,6 +18,43 @@ the tiny commit JSON is driver-side. Reads hand Spark a list of parquet
 files, so partition pruning / predicate pushdown work unchanged. A real
 deployment would swap this class for Delta/Iceberg with zero API change —
 documented equivalence, same plans.
+
+Delta/Iceberg adapter seam (the swap path when the packages are
+available — neither ships in this environment). Every public API here
+maps 1:1 onto a Delta Lake call (Iceberg names in parens); an adapter
+implementing this class's surface over ``delta.tables.DeltaTable`` is
+mechanical:
+
+==========================  ===================================================
+this class                  Delta Lake (Iceberg)
+==========================  ===================================================
+``append(df)``              ``df.write.format("delta").mode("append")``
+                            (``df.writeTo(t).append()``)
+``read(as_of_version=v)``   ``spark.read.format("delta").option("versionAsOf",
+                            v)`` (``VERSION AS OF`` snapshot-id read)
+``read(where=...)``         same — file skipping via Delta stats / Iceberg
+                            manifest min-max, identical semantics to
+                            ``_candidate_files``
+``history()``               ``DeltaTable.history()`` (``table.snapshots``)
+``changes(v0, v1)``         CDF: ``.option("readChangeFeed", "true")
+                            .option("startingVersion", ...)`` (incremental
+                            read between snapshot ids)
+``compact(zorder_by=c)``    ``OPTIMIZE t ZORDER BY (c)`` (``rewrite_data_files``
+                            with sort order)
+``delete(cond)``            ``DeltaTable.delete(cond)`` (``DELETE FROM``)
+``restore(v)``              ``RESTORE TABLE t TO VERSION AS OF v``
+``vacuum()``                ``VACUUM t`` (``expire_snapshots``)
+``merge`` (feature_group)   ``DeltaTable.merge().whenMatched...`` (``MERGE
+                            INTO``)
+``ConcurrentCommitError``   ``ConcurrentModificationException`` — same
+                            optimistic first-writer-wins protocol
+==========================  ===================================================
+
+The exclusive-create commit publish below IS Delta's protocol (versioned
+JSON actions published atomically over parquet data files), so behavior
+under concurrent writers, time travel, and CDF matches by construction,
+not just by API shape. ``tests/test_store.py`` pins those semantics, so
+an adapter passes the same suite.
 """
 
 from __future__ import annotations

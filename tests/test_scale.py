@@ -94,3 +94,38 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
         assert "might_contain" in plan
         # the bloom probe sits on the fact side, keyed by the join column
         assert "might_contain" in plan and "l_partkey" in plan.split("might_contain")[1][:80]
+
+
+def test_exact_collapse_correct_without_broadcast(spark, sf_dir):
+    """The 100 TB join shape of the exact-collapse pipeline: at fixture
+    scale the dup-group map rides broadcast joins, but at corpus scale it
+    exceeds the broadcast threshold and every group-map join (rep semi
+    join, both expansion sides, the within-group survivor semi join) must
+    degrade to shuffle joins with identical results. Disabling both
+    broadcast thresholds forces that shape; the collapsed pipeline must
+    stay row-identical to the direct (no-collapse) pipeline."""
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.operators.dedup import minhash_near_dups
+
+    docs = load_table(spark, "documents", sf_dir)
+    direct = {
+        tuple(r)
+        for r in minhash_near_dups(
+            docs, "doc_id", "text", threshold=0.5, collapse=False
+        ).collect()
+    }
+    with _confs(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        collapsed = minhash_near_dups(
+            docs, "doc_id", "text", threshold=0.5, collapse=True
+        )
+        # the forced shape really is broadcast-free
+        plan = collapsed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoop" not in plan
+        got = {tuple(r) for r in collapsed.collect()}
+    assert got == direct

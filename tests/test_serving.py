@@ -73,3 +73,49 @@ def test_serving_lookup_latency_under_job_floor(spark, tmp_path):
     per_lookup = (time.perf_counter() - t0) / n
     # Spark's per-job floor is ~0.2s; serving reads must be >1000x under it
     assert per_lookup < 1e-4, f"{per_lookup:.2e}s per lookup"
+
+
+def test_sharded_serving_partitions_key_space(spark, tmp_path):
+    """N shards hold disjoint ~1/N-sized slices whose union is the whole
+    online view; routing via shard_of finds every key, and each shard's
+    records equal the unsharded snapshot's for the keys it owns."""
+    fg = make_fg(spark, tmp_path)
+    n_keys, n_shards = 400, 4
+    fg.ingest(
+        spark.createDataFrame(
+            [row(i, 1, float(i), 10.0, 5.0, 5.0) for i in range(n_keys)], FG_SCHEMA
+        )
+    )
+    whole = ServingSession(fg)
+    shards = [
+        ServingSession(fg, n_shards=n_shards, shard=i) for i in range(n_shards)
+    ]
+    sizes = [len(s) for s in shards]
+    assert sum(sizes) == n_keys == len(whole)
+    # balanced to within a loose bound (md5 is uniform; 400 keys over 4)
+    assert min(sizes) > n_keys // n_shards // 2
+    seen = set()
+    for s in shards:
+        keys = {k for k in range(n_keys) if s.exists(k)}
+        assert keys.isdisjoint(seen)
+        seen |= keys
+        for k in keys:
+            assert s.owns(k)
+            assert s.get_record(k) == whole.get_record(k)
+    assert seen == set(range(n_keys))
+    # client-side routing agrees with the Spark-side filter for every key
+    for k in range(n_keys):
+        sid = ServingSession.shard_of(k, n_shards)
+        assert shards[sid].exists(k)
+        assert all(not shards[j].exists(k) for j in range(n_shards) if j != sid)
+
+
+def test_sharded_serving_rejects_bad_shard(spark, tmp_path):
+    import pytest
+
+    fg = make_fg(spark, tmp_path)
+    fg.ingest(spark.createDataFrame([row(1, 1, 1.0, 1.0, 1.0, 1.0)], FG_SCHEMA))
+    with pytest.raises(ValueError):
+        ServingSession(fg, n_shards=4, shard=4)
+    with pytest.raises(ValueError):
+        ServingSession(fg, n_shards=0, shard=0)
