@@ -413,3 +413,49 @@ def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_survivor", F.col("component") == F.col("vec_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q123 — the GEMM-path brute-force top-k, registered against q28's exact
+# oracle: scoring runs as one numpy matrix multiply per Arrow batch
+# (corpus chunk x broadcast query matrix — the faiss/ScaNN exhaustive-scan
+# inner loop) instead of per-pair interpreted array folds, with tie-safe
+# per-chunk candidate cuts and a global re-rank. Same rounded-then-ranked
+# contract as q28; GEMM accumulation-order ulps are absorbed by the 6-dp
+# round (equality to the fold operator is additionally pinned in
+# tests/test_similarity.py), so the DuckDB oracle hash-checks it.
+# ---------------------------------------------------------------------------
+@register(
+    "q123_cosine_topk_gemm",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS cos_sim
+      FROM q JOIN c ON query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="brute-force cosine top-5 on the vectorized GEMM scan path (oracle-checked)",
+    tags=("similarity", "udf", "window"),
+)
+def q123_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.similarity import cosine_topk_arrow
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk_arrow(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 20),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    )

@@ -216,20 +216,22 @@ def q101_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).where(F.col("term") != "")
-    # One exchange serves both the tf aggregation and the per-doc ranking
-    # window: hash partitioning on doc_id alone satisfies the (doc_id,
-    # term) clustering requirement, and the window's doc_id requirement,
-    # so EnsureRequirements inserts no further shuffle. Shuffle volume is
-    # ~the raw token stream either way (terms are mostly unique per doc,
-    # so the map-side combine the plain groupBy would get saves little).
-    tokens = tokens.repartition(F.col("doc_id"))
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window over term, NOT a separate aggregate broadcast back:
+    # the broadcast form's build side re-ran the whole explode+tf pipeline
+    # (no exchange reuse across the differing branches), so the corpus was
+    # scanned and tokenized twice. One token stream through the (doc,term)
+    # partial-agg shuffle -> term window -> doc ranking window shuffles
+    # ~the tf rows twice more and reads the corpus once; three stage
+    # barriers is the plan's floor at bench scale. At web-corpus scale
+    # both shapes work; flip back to a broadcast vocabulary (over a
+    # CACHED tf) only when the term shuffle skews.
+    wdf = Window.partitionBy("term")
     w = Window.partitionBy("doc_id").orderBy(
         (F.col("tf") * 1.0 / F.col("df")).desc(), "term"
     )
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df")

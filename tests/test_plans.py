@@ -142,13 +142,14 @@ def test_q100_transition_window_partitions_by_user(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
-def test_q101_vocabulary_broadcasts_onto_tf(spark, sf_dir):
-    """The df (vocabulary) side joins back as a broadcast — the big
-    (doc,term) tf frame must not shuffle for the join — and the ranking
-    window partitions by doc_id. No Python anywhere."""
+def test_q101_single_scan_no_join(spark, sf_dir):
+    """df rides as a window over term on the one token stream — no join
+    at all (the former broadcast-vocabulary form re-ran the whole
+    explode+tf pipeline on its build side: two corpus scans), and the
+    ranking window partitions by doc_id. No Python anywhere."""
     plan = plan_of(spark, sf_dir, "q101_distinctive_terms")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan ") == 1
     assert "Window" in plan and "Python" not in plan
 
 
