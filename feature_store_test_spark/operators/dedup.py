@@ -48,6 +48,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def shingle_array(
@@ -78,21 +79,51 @@ def minhash_signatures_arrays(
     k: int = 8,
     keep_arr: bool = False,
     keep_cols: list[str] | None = None,
+    family: str = "md5",
 ) -> DataFrame:
     """k min-window signature columns from an array-of-shingles table.
 
-    Same hash family as ``minhash_signatures`` (one md5 per shingle;
-    member s = lexicographic MIN over the 15-hex window at offset
-    s * (32 // k) of the self-concatenated digest) computed as a pure
-    projection: ``array_min`` over per-element transforms — no explode,
-    no shuffle. The md5 array is a separate projected column so the k
-    window transforms share one digest evaluation per shingle.
+    ``family="md5"`` (default): same hash family as
+    ``minhash_signatures`` (one md5 per shingle; member s =
+    lexicographic MIN over the 15-hex window at offset s * (32 // k) of
+    the self-concatenated digest) computed as a pure projection:
+    ``array_min`` over per-element transforms — no explode, no shuffle.
+    The md5 array is a separate projected column so the k window
+    transforms share one digest evaluation per shingle. This family is
+    reproducible in any engine with md5/substr, which is what the
+    oracle-exact queries require.
+
+    ``family="xxhash64"``: the documented scale swap — member s =
+    MIN over seeded ``xxhash64(shingle, s)`` longs. The hash itself is
+    far cheaper than md5 (one 64-bit mix vs a cryptographic digest +
+    string windows) and the min-state is a long, not a 15-char string;
+    measured effect on the WHOLE pipeline is modest where other stages
+    dominate (~6% on the sf0.1 direct path, ~20% on the collapsed 10x
+    replica) and grows with shingle volume per doc. The cost is
+    engine-portability of the exact bits: use it when nothing
+    downstream needs to reproduce signatures outside Spark. Candidate
+    quality is statistically equivalent (both are uniform hash
+    families); ``tests/test_operators.py`` pins pipeline agreement on
+    the fixtures.
     """
+    keep_names = keep_cols if keep_cols is not None else ([arr_col] if keep_arr else [])
+    keep = [F.col(c) for c in keep_names]
+    if family == "xxhash64":
+        return arr_df.select(
+            F.col(id_col),
+            *keep,
+            *[
+                F.array_min(
+                    F.transform(arr_col, lambda x, s=s: F.xxhash64(x, F.lit(s)))
+                ).alias(f"mh{s}")
+                for s in range(k)
+            ],
+        )
+    if family != "md5":
+        raise ValueError(f"unknown minhash family {family!r}")
     if k > 32:
         raise ValueError("array signature family supports k <= 32")
     step = 32 // k
-    keep_names = keep_cols if keep_cols is not None else ([arr_col] if keep_arr else [])
-    keep = [F.col(c) for c in keep_names]
     harr = arr_df.select(
         F.col(id_col),
         *keep,
@@ -225,11 +256,21 @@ def lsh_candidate_pairs(
     real mitigation.
     """
     r = k // bands
+    # bucket id: md5 over the concatenated string signatures (the
+    # engine-portable family), or one xxhash64 mix when signatures are
+    # longs (the xxhash64 family — concat doesn't apply). Either way,
+    # equal signature slices land in equal buckets; collisions between
+    # different slices are 64/128-bit-rare and only ever ADD a candidate
+    # that exact verification then filters.
+    sig_is_long = isinstance(signatures.schema["mh0"].dataType, T.LongType)
+
+    def bucket_of(b: int) -> F.Column:
+        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+        if sig_is_long:
+            return F.xxhash64(*cols).cast("string")
+        return F.md5(F.concat(*cols))
     band_entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat(*[F.col(f"mh{b * r + j}") for j in range(r)])).alias("bucket"),
-        )
+        F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
         for b in range(bands)
     ]
     banded = signatures.select(
@@ -446,8 +487,16 @@ def minhash_near_dups(
     threshold: float = 0.5,
     cache_shingles: bool = True,
     collapse: bool | None = None,
+    family: str = "md5",
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH → exact verify.
+
+    ``family`` selects the signature hash family (see
+    ``minhash_signatures_arrays``): "md5" is engine-portable and what
+    the oracle-checked queries use; "xxhash64" is the cheaper scale
+    path with statistically equivalent candidate quality — verification
+    is exact either way, so a family switch can only move which
+    candidate pairs are CONSIDERED, never emit a wrong Jaccard.
 
     ARRAY form (module docstring): the per-doc shingle-set table feeds
     two consumers (signatures + verification), so it is persisted once
@@ -507,7 +556,7 @@ def minhash_near_dups(
         )
         if cache_shingles:
             arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
-        sigs = minhash_signatures_arrays(arr, id_col, k=k)
+        sigs = minhash_signatures_arrays(arr, id_col, k=k, family=family)
         pairs = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands)
         return jaccard_verify_arrays(
             arr, pairs, id_col, arr_col="__sh64", threshold=threshold
@@ -534,7 +583,7 @@ def minhash_near_dups(
     )
     if cache_shingles:
         arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures_arrays(arr, id_col, k=k)
+    sigs = minhash_signatures_arrays(arr, id_col, k=k, family=family)
     pairs = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands)
     rep_pairs = jaccard_verify_arrays(
         arr, pairs, id_col, arr_col="__sh64", threshold=threshold

@@ -229,3 +229,34 @@ def test_freq_items_superset_of_exact_heavy_hitters(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
     approx = set(ev.stat.freqItems(["user_id"], support=0.005).collect()[0][0])
     assert exact <= approx
+
+
+def test_minhash_xxhash64_family_agrees(spark, sf_dir):
+    """The xxhash64 signature family (the documented non-portable scale
+    swap) must behave like the md5 family: exact verification makes any
+    emitted pair's Jaccard identical, and candidate recall on the
+    fixture corpus stays high (both are uniform hash families over the
+    same shingle sets — only bucket membership can differ)."""
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.operators.dedup import minhash_near_dups
+
+    docs = load_table(spark, "documents", sf_dir)
+    md5_pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dups(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    xx_pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dups(
+            docs, "doc_id", "text", threshold=0.5, family="xxhash64"
+        ).collect()
+    }
+    assert md5_pairs, "fixture should contain near-dups"
+    common = set(md5_pairs) & set(xx_pairs)
+    # verification is exact: agreed-on pairs carry identical Jaccard
+    for p in common:
+        assert md5_pairs[p] == xx_pairs[p]
+    # candidate recall between the families stays high on the fixture
+    assert len(common) / len(md5_pairs) >= 0.8
+    # every emitted pair respects the threshold (no bucket-collision leak)
+    assert all(j >= 0.5 for j in xx_pairs.values())
