@@ -385,11 +385,410 @@ def decode_png(data: bytes) -> dict:
 
 
 def decode_image(data: bytes) -> dict:
-    """Sniff-and-decode: BMP, P6 PPM, or PNG by magic bytes."""
+    """Sniff-and-decode: BMP, P6 PPM, PNG, or baseline JPEG by magic."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return decode_png(data)
-    raise ValueError("unsupported image format (BMP/P6-PPM/PNG supported)")
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
+    raise ValueError("unsupported image format (BMP/P6-PPM/PNG/JPEG supported)")
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, 8-bit, grayscale / YCbCr 4:4:4)
+# --------------------------------------------------------------------------
+# The encoder emits CUSTOM canonical Huffman tables built from the actual
+# symbol frequencies and carries them in DHT segments (any valid prefix
+# code is legal JPEG — the decoder must build its codes from the stream's
+# DHT, exactly like decoding a third-party file), and a deterministic
+# quality-scaled quantization table via DQT. No subsampling (4:4:4), no
+# progressive, no restart markers — the baseline core.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    C = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    C[0] *= np.sqrt(0.5)
+    return C * 0.5  # orthonormal: block_dct = C @ B @ C.T
+
+
+def _quant_table(quality: int) -> np.ndarray:
+    """Deterministic radial-ramp quantization table scaled by quality
+    (1-100, libjpeg-style scaling). Any table is valid JPEG — it rides
+    in the DQT segment."""
+    i, j = np.mgrid[0:8, 0:8]
+    base = 8.0 + 2.0 * (i + j)
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((base * scale + 50) / 100)
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _canonical_code(freqs: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman code (symbol -> (code, length)), max length 16,
+    no all-ones code of max length (JPEG reserves it). Package-merge is
+    overkill for <=256 symbols: build by frequency-sorted length
+    assignment — give every symbol the same length L = ceil(log2(n+1))
+    (the +1 keeps the all-ones codeword unused). Suboptimal compression,
+    dead-simple and always valid; compactness is not this codec's job."""
+    syms = sorted(freqs)
+    n = len(syms)
+    L = max(1, (n + 1 - 1).bit_length())  # 2^L >= n+1
+    return {s: (i, L) for i, s in enumerate(syms)}
+
+
+def _dht_segment(table_class: int, table_id: int, code: dict[int, tuple[int, int]]) -> bytes:
+    counts = [0] * 17
+    by_len: dict[int, list[tuple[int, int]]] = {}
+    for sym, (c, ln) in code.items():
+        counts[ln] += 1
+        by_len.setdefault(ln, []).append((c, sym))
+    vals = bytearray()
+    for ln in range(1, 17):
+        for _, sym in sorted(by_len.get(ln, [])):
+            vals.append(sym)
+    body = bytes([(table_class << 4) | table_id]) + bytes(counts[1:]) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """Baseline JPEG writer: grayscale (h, w) or RGB (h, w, 3) uint8 →
+    SOI/DQT/SOF0/DHT/SOS stream with 4:4:4 sampling, custom canonical
+    Huffman tables and a quality-scaled DQT. Lossy by quantization only
+    (the DCT is orthonormal); ``decode_jpeg`` inverts it within the
+    quantization error bound the tests assert."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        channels = [px.astype(np.float64)]
+    else:
+        rgb = px.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        channels = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    q = _quant_table(quality)
+    C = _dct_matrix()
+    H8, W8 = -(-h // 8) * 8, -(-w // 8) * 8
+    # per channel: DCT+quantize all blocks, then symbol streams
+    comp_blocks = []
+    for ch in channels:
+        padded = np.pad(ch, ((0, H8 - h), (0, W8 - w)), mode="edge") - 128.0
+        blocks = []
+        for by in range(0, H8, 8):
+            for bx in range(0, W8, 8):
+                B = padded[by : by + 8, bx : bx + 8]
+                coef = C @ B @ C.T
+                qc = np.rint(coef / q).astype(np.int32)
+                blocks.append(qc.flatten()[_ZIGZAG])
+        comp_blocks.append(blocks)
+
+    # per-component, per-block symbol lists (DC prediction is tracked per
+    # component); a multi-component baseline scan is MCU-INTERLEAVED, so
+    # emission below walks block positions outer, components inner
+    def symbols_per_block(blocks):
+        out = []
+        prev = 0
+        for zz in blocks:
+            syms = [("dc", int(zz[0]) - prev)]
+            prev = int(zz[0])
+            run = 0
+            last_nz = max(np.nonzero(zz[1:])[0]) + 1 if np.any(zz[1:]) else 0
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        syms.append(("ac", (0xF0, 0)))
+                        run = 0
+                else:
+                    syms.append(("ac", ((run << 4) | _category(v), v)))
+                    run = 0
+            if last_nz < 63:
+                syms.append(("ac", (0x00, 0)))
+            out.append(syms)
+        return out
+
+    comp_syms = [symbols_per_block(blocks) for blocks in comp_blocks]
+    dc_freq: dict[int, int] = {}
+    ac_freq: dict[int, int] = {}
+    for cs in comp_syms:
+        for syms in cs:
+            for kind, payload in syms:
+                if kind == "dc":
+                    s = _category(payload)
+                    dc_freq[s] = dc_freq.get(s, 0) + 1
+                else:
+                    ac_freq[payload[0]] = ac_freq.get(payload[0], 0) + 1
+    dc_code = _canonical_code(dc_freq)
+    ac_code = _canonical_code(ac_freq)
+
+    bw = _BitWriter()
+    n_blocks = len(comp_blocks[0])
+    for bi in range(n_blocks):
+        for cs in comp_syms:
+            for kind, payload in cs[bi]:
+                if kind == "dc":
+                    s = _category(payload)
+                    c, ln = dc_code[s]
+                    bw.write(c, ln)
+                    if s:
+                        v = payload if payload > 0 else payload + (1 << s) - 1
+                        bw.write(v, s)
+                else:
+                    rs, v = payload
+                    c, ln = ac_code[rs]
+                    bw.write(c, ln)
+                    s = rs & 0x0F
+                    if s:
+                        vv = v if v > 0 else v + (1 << s) - 1
+                        bw.write(vv, s)
+    entropy = bw.flush()
+
+    nc = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")  # SOI
+    zz_q = q.flatten()[_ZIGZAG]
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(x) for x in zz_q
+    )  # DQT id 0
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for cid in range(1, nc + 1):
+        sof += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, dc_code) + _dht_segment(1, 0, ac_code)
+    sos = bytes([nc])
+    for cid in range(1, nc + 1):
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += entropy + b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy stream")
+                self.pos += 1  # skip stuffed zero
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _receive_extend(r: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = r.read_bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Real baseline JPEG decode: marker walk, DQT/DHT/SOF0/SOS parse,
+    Huffman entropy decode (tables built from the stream's DHT),
+    dequantize, inverse zigzag, IDCT, YCbCr→RGB. Supports 8-bit baseline
+    with 1x1 sampling (4:4:4 or grayscale); rejects progressive,
+    subsampled, or arithmetic-coded streams with ValueError (errors as
+    data at the pipeline layer). Output dict matches the other image
+    decoders."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as e:
+        # truncated/malformed segments surface as ValueError so the
+        # pipeline's errors-as-data contract catches them uniformly
+        raise ValueError(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> dict:
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    scan = None
+    entropy_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                counts = body[p + 1 : p + 17]
+                p += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        table[(ln, code)] = body[p]
+                        p += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = body[0]
+            hh, ww = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            frame = (hh, ww, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDA:  # SOS
+            nc = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(nc)]
+            entropy_start = pos + 2 + seglen
+            break
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        pos += 2 + seglen
+    if frame is None or scan is None or entropy_start is None:
+        raise ValueError("missing SOF0/SOS segment")
+    h, w, comps = frame
+    # entropy data runs until EOI (stuffed 0xFF00 handled by the reader)
+    end = data.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("missing EOI")
+    reader = _BitReader(data[entropy_start:end])
+
+    def decode_huff(table) -> int:
+        ln, code = 0, 0
+        while ln < 16:
+            code = (code << 1) | reader.read_bit()
+            ln += 1
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("invalid Huffman code in entropy stream")
+
+    C = _dct_matrix()
+    H8, W8 = -(-h // 8) * 8, -(-w // 8) * 8
+    n_blocks_y, n_blocks_x = H8 // 8, W8 // 8
+    planes = [np.zeros((H8, W8), dtype=np.float64) for _ in comps]
+    preds = [0] * len(comps)
+    for by in range(n_blocks_y):
+        for bx in range(n_blocks_x):
+            for ci, ((cid, tq), (scid, tids)) in enumerate(zip(comps, scan)):
+                dc_tbl = huff.get((0, tids >> 4))
+                ac_tbl = huff.get((1, tids & 0x0F))
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("scan references missing Huffman table")
+                zz = np.zeros(64, dtype=np.int64)
+                s = decode_huff(dc_tbl)
+                preds[ci] += _receive_extend(reader, s)
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = decode_huff(ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _receive_extend(reader, s)
+                    k += 1
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = zz
+                deq = coef.reshape(8, 8) * qt[tq]
+                block = C.T @ deq @ C + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        g = np.clip(planes[0], 0, 255)
+        rgb = np.stack([g, g, g], axis=2)
+    else:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.stack([r, g, b], axis=2), 0, 255)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "bpp": int(8 * len(planes)),
+        "mean_r": float(rgb[:, :, 0].mean()),
+        "mean_g": float(rgb[:, :, 1].mean()),
+        "mean_b": float(rgb[:, :, 2].mean()),
+    }

@@ -5,12 +5,13 @@ Model: media rides as an opaque ``binary`` column next to typed metadata
 partition behavior, Arrow batch shapes, frame fan-out — is real and tested.
 The codec tier is split:
 
-- REAL decoders for formats needing only stdlib+numpy (operators/
-  codecs.py): ``audio_features`` (WAV PCM) and ``image_features``
-  (BMP / P6 PPM / PNG via stdlib zlib) below decode actual payloads —
-  no stub, no fake flag.
-- STUBBED decoders for formats needing external libraries (JPEG/
-  video): ``decode_media`` raises NotImplementedError by default
+- REAL decoders on stdlib+numpy only (operators/codecs.py):
+  ``audio_features`` (WAV PCM) and ``image_features`` (BMP / P6 PPM /
+  PNG via stdlib zlib / baseline JPEG — marker walk, stream-defined
+  Huffman tables, dequant + IDCT) decode actual payloads — no stub,
+  no fake flag.
+- STUBBED decoders for formats needing external libraries (video
+  containers/codecs): ``decode_media`` raises NotImplementedError by default
   (clearly-marked stub), or applies a deterministic fake decode
   (``fake=True``) whose outputs are pure functions of the bytes — so the
   whole pipeline is testable and oracle-checkable end to end.
@@ -134,8 +135,9 @@ def audio_features(
 def image_features(
     df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
 ) -> DataFrame:
-    """REAL image decode (BMP, P6 PPM, or PNG — operators/codecs.py) over
-    Arrow batches: dimensions + per-channel means per blob."""
+    """REAL image decode (BMP, P6 PPM, PNG, or baseline JPEG —
+    operators/codecs.py) over Arrow batches: dimensions + per-channel
+    means per blob."""
     from feature_store_test_spark.operators.codecs import decode_image
 
     return df.select(id_col, blob_col).mapInPandas(

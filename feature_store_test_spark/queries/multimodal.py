@@ -302,3 +302,76 @@ def q122_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q124 — REAL baseline-JPEG codec end to end: each doc synthesizes a
+# constant-color RGB image, encodes it through the ACTUAL JPEG pipeline
+# (level shift, orthonormal DCT, quality-85 quantization, zigzag,
+# stream-defined canonical Huffman tables, byte stuffing) and decodes it
+# back (marker walk, DHT-built codes, dequant, IDCT, YCbCr round trip).
+# At quality 85 the DC quantizer step (2) divides the scaled DC of any
+# constant image exactly, so decode is BIT-EXACT on these payloads — the
+# oracle is the closed form: every channel mean equals the input color.
+# Lossy behavior on non-constant images is property-tested in
+# tests/test_codecs.py (SQL can't express DCT quantization error).
+# ---------------------------------------------------------------------------
+@register(
+    "q124_jpeg_codec",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS INT) AS width,
+           CAST(8 + doc_id % 7 AS INT) AS height,
+           CAST(24 AS INT) AS bpp,
+           ROUND(CAST((doc_id * 37) % 256 AS DOUBLE), 6) AS mean_r,
+           ROUND(CAST((doc_id * 37) % 256 AS DOUBLE), 6) AS mean_g,
+           ROUND(CAST((doc_id * 37) % 256 AS DOUBLE), 6) AS mean_b
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="REAL baseline JPEG encode+decode (Huffman/DCT/quant) vs closed-form color oracle",
+    tags=("multimodal", "codec", "udf"),
+)
+def q124_jpeg_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from feature_store_test_spark.operators.multimodal import image_features
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 200)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from feature_store_test_spark.operators.codecs import encode_jpeg
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h, v = 8 + did % 9, 8 + did % 7, (did * 37) % 256
+                blobs.append(
+                    encode_jpeg(np.full((h, w, 3), v, dtype=np.uint8), quality=85)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    jpgs = docs.select("doc_id").mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("blob", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = image_features(jpgs)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "bpp",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

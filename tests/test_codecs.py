@@ -227,3 +227,89 @@ def test_spark_image_features_png(spark):
     assert out[1]["mean_g"] == pytest.approx(p1[:, :, 1].astype(np.float64).mean())
     assert (out[2]["width"], out[2]["height"]) == (7, 4)
     assert out[3]["decode_error"] is not None and out[3]["width"] is None
+
+
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    gray=st.booleans(),
+    quality=st.sampled_from([75, 85, 95]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_smooth(w, h, gray, quality, seed):
+    """Baseline JPEG encode -> decode recovers per-channel means within
+    quantization error on smooth (low-frequency) images; dimensions and
+    channel count are exact. Smooth inputs keep AC quant error small so
+    the tolerance can be tight without flaking."""
+    from feature_store_test_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 216)
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = (base + 0.3 * xx + 0.2 * yy) % 256
+    if gray:
+        px = smooth.astype(np.uint8)
+        exp = [float(px.astype(np.float64).mean())] * 3
+    else:
+        px = np.stack(
+            [smooth, (smooth + 30) % 256, (smooth + 60) % 256], axis=2
+        ).astype(np.uint8)
+        exp = [float(px[:, :, c].astype(np.float64).mean()) for c in range(3)]
+    got = decode_jpeg(encode_jpeg(px, quality=quality))
+    assert (got["width"], got["height"]) == (w, h)
+    assert got["bpp"] == (8 if gray else 24)
+    for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+        assert got[name] == pytest.approx(exp[c], abs=4.0)
+
+
+def test_jpeg_constant_is_exact():
+    """At quality 85 the DC quant step divides the scaled DC exactly, so
+    a constant-color image round-trips bit-exact (the q124 oracle leans
+    on this closed form)."""
+    from feature_store_test_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    for v in (0, 1, 127, 128, 200, 255):
+        px = np.full((19, 13, 3), v, dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg(px, quality=85))
+        for name in ("mean_r", "mean_g", "mean_b"):
+            assert got[name] == pytest.approx(float(v), abs=1e-9), (v, got)
+
+
+def test_jpeg_rejects_unsupported():
+    from feature_store_test_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01")
+    good = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    # flip SOF0 -> SOF2 (progressive)
+    i = bytes(good).find(b"\xff\xc0")
+    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good[:-20]))  # truncated entropy/EOI
+
+
+def test_spark_image_features_jpeg(spark):
+    """image_features sniffs and decodes real JPEG blobs in the same
+    frame as PNG/BMP rows."""
+    from feature_store_test_spark.operators.codecs import encode_jpeg, encode_png
+    from feature_store_test_spark.operators.multimodal import image_features
+    from pyspark.sql import types as T
+
+    p1 = np.full((10, 12, 3), 99, dtype=np.uint8)
+    rng = np.random.default_rng(4)
+    p2 = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_jpeg(p1, quality=85))),
+        (2, bytearray(encode_png(p2, filter_type="mixed"))),
+    ]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("blob", T.BinaryType())]
+    )
+    out = {r["doc_id"]: r for r in image_features(spark.createDataFrame(rows, schema)).collect()}
+    assert out[1]["decode_error"] is None
+    assert (out[1]["width"], out[1]["height"], out[1]["bpp"]) == (12, 10, 24)
+    assert out[1]["mean_g"] == pytest.approx(99.0, abs=1e-9)
+    assert out[2]["mean_b"] == pytest.approx(p2[:, :, 2].astype(np.float64).mean())
