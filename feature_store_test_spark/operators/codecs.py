@@ -792,3 +792,204 @@ def _decode_jpeg(data: bytes) -> dict:
         "mean_g": float(rgb[:, :, 1].mean()),
         "mean_b": float(rgb[:, :, 2].mean()),
     }
+
+
+# --------------------------------------------------------------------------
+# Video: Y4M (YUV4MPEG2, raw 4:4:4 frames) and AVI-MJPEG (RIFF container,
+# one baseline JPEG per frame — decoded by decode_jpeg above). Both are
+# real public formats parseable with stdlib+numpy alone; modern
+# inter-frame codecs (H.264 etc.) remain out of scope without external
+# libraries and are the one stubbed surface left in decode_media.
+# --------------------------------------------------------------------------
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    return np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ],
+        axis=-1,
+    )
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+    return np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """YUV4MPEG2 writer: ``frames`` uint8 (n, h, w, 3) RGB or (n, h, w)
+    gray → C444 planar full-range YCbCr frames (JFIF matrix; noted in
+    the XJFIF param — Y4M's C tag carries the layout, the range rides as
+    an extension param)."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim == 3:
+        fr = np.stack([fr, fr, fr], axis=-1)
+    n, h, w, _ = fr.shape
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444 XJFIF\n".encode()
+    out = bytearray(header)
+    for i in range(n):
+        ycc = np.clip(np.rint(_rgb_to_ycbcr(fr[i].astype(np.float64))), 0, 255)
+        planes = ycc.astype(np.uint8)
+        out += b"FRAME\n"
+        for c in range(3):  # planar Y, Cb, Cr
+            out += planes[:, :, c].tobytes()
+    return bytes(out)
+
+
+def _y4m_parse_header(data: bytes) -> tuple[dict, int]:
+    end = data.find(b"\n")
+    if not data.startswith(b"YUV4MPEG2") or end < 0:
+        raise ValueError("not a YUV4MPEG2 payload")
+    params: dict[str, str] = {}
+    for tok in data[10:end].split(b" "):
+        if tok:
+            params[chr(tok[0])] = tok[1:].decode()
+    if params.get("C", "420jpeg") != "444":
+        raise ValueError("only C444 Y4M supported")
+    return params, end + 1
+
+
+def y4m_frames(data: bytes):
+    """Yield (h, w, 3) uint8 RGB frames from a C444 Y4M stream."""
+    params, pos = _y4m_parse_header(data)
+    w, h = int(params["W"]), int(params["H"])
+    plane = w * h
+    while pos < len(data):
+        line_end = data.find(b"\n", pos)
+        if line_end < 0 or data[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt FRAME marker")
+        pos = line_end + 1
+        if pos + 3 * plane > len(data):
+            raise ValueError("truncated Y4M frame")
+        ycc = np.stack(
+            [
+                np.frombuffer(data, np.uint8, plane, pos + c * plane).reshape(h, w)
+                for c in range(3)
+            ],
+            axis=-1,
+        ).astype(np.float64)
+        pos += 3 * plane
+        yield np.clip(np.rint(_ycbcr_to_rgb(ycc)), 0, 255).astype(np.uint8)
+
+
+def decode_y4m(data: bytes) -> dict:
+    """Real Y4M decode: header parse + per-frame plane extraction +
+    YCbCr→RGB; aggregates frame means. Raises ValueError on non-Y4M or
+    truncated streams."""
+    params, _ = _y4m_parse_header(data)
+    w, h = int(params["W"]), int(params["H"])
+    num, den = (params.get("F", "25:1").split(":") + ["1"])[:2]
+    fps = float(num) / float(den)
+    n = 0
+    sums = np.zeros(3)
+    for fr in y4m_frames(data):
+        sums += fr.reshape(-1, 3).mean(axis=0)
+        n += 1
+    if n == 0:
+        raise ValueError("Y4M stream contains no frames")
+    means = sums / n
+    return {
+        "container": "y4m",
+        "width": int(w),
+        "height": int(h),
+        "n_frames": int(n),
+        "fps": float(fps),
+        "duration_s": float(n / fps) if fps else 0.0,
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+    }
+
+
+def encode_avi_mjpeg(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int = 25
+) -> bytes:
+    """Minimal AVI (RIFF) writer for an MJPEG stream: hdrl(avih +
+    strl(strh/strf)) + movi LIST of 00dc chunks, one baseline JPEG per
+    frame (e.g. from ``encode_jpeg``)."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    n = len(jpeg_frames)
+    usec = int(1_000_000 / fps) if fps else 0
+    avih = struct.pack(
+        "<14I", usec, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", width * height * 3,
+        0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(data: bytes) -> dict:
+    """Real AVI-MJPEG decode: RIFF chunk walk to the movi LIST, each
+    00dc/00db frame decoded by ``decode_jpeg``; frame rate from avih.
+    Raises ValueError on non-AVI payloads or non-MJPEG frames."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    fps = 0.0
+    frames: list[dict] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif tag == b"avih":
+                (usec,) = struct.unpack_from("<I", data, body_start)
+                fps = 1_000_000 / usec if usec else 0.0
+            elif tag in (b"00dc", b"00db"):
+                frames.append(decode_jpeg(data[body_start : body_start + size]))
+            pos = body_start + size + (size & 1)
+
+    walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    w, h = frames[0]["width"], frames[0]["height"]
+    return {
+        "container": "avi-mjpeg",
+        "width": int(w),
+        "height": int(h),
+        "n_frames": len(frames),
+        "fps": float(fps),
+        "duration_s": float(len(frames) / fps) if fps else 0.0,
+        "mean_r": float(np.mean([f["mean_r"] for f in frames])),
+        "mean_g": float(np.mean([f["mean_g"] for f in frames])),
+        "mean_b": float(np.mean([f["mean_b"] for f in frames])),
+    }
+
+
+def decode_video(data: bytes) -> dict:
+    """Sniff-and-decode video: Y4M or AVI-MJPEG by magic bytes."""
+    if data[:9] == b"YUV4MPEG2":
+        return decode_y4m(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi_mjpeg(data)
+    raise ValueError("unsupported video format (Y4M / AVI-MJPEG supported)")

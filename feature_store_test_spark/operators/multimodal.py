@@ -155,19 +155,16 @@ def decode_media(
 ) -> DataFrame:
     """Frame-sample a media blob into FRAME_SCHEMA rows via mapInPandas.
 
-    Real deployments plug a codec (PIL/ffmpeg/torchaudio) into ``_frames``;
-    this container has none, so ``fake=False`` raises NotImplementedError
-    (STUB — clearly marked), and ``fake=True`` runs a deterministic fake
-    codec: the blob is cut into ``frame_size``-byte windows, each emitting
-    (frame_idx, md5(window), len(window)). Deterministic in the bytes, so
-    the full pipeline — Arrow batching, fan-out schema, partition behavior —
-    is exercised and oracle-checked without any media library.
+    ``fake=False`` (the REAL path): Y4M and AVI-MJPEG payloads decode to
+    actual video frames (operators/codecs.py) — one row per frame with
+    the md5 of the frame's raw RGB bytes; any other format raises
+    NotImplementedError (STUB — inter-frame codecs need external
+    libraries this container lacks). ``fake=True`` runs the
+    deterministic stub codec on ANY bytes: the blob is cut into
+    ``frame_size``-byte windows, each emitting (frame_idx, md5(window),
+    len(window)) — a pure function of the bytes, so the fan-out
+    plumbing is oracle-checkable without any media payloads (q32).
     """
-    if not fake:
-        raise NotImplementedError(
-            "media codecs are not available in this environment; "
-            "pass fake=True for the deterministic stub codec"
-        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -176,12 +173,29 @@ def decode_media(
             out = {"doc_id": [], "frame_idx": [], "frame_fp": [], "frame_bytes": []}
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 data = bytes(blob)
-                for i in range(0, max(len(data), 1), frame_size):
-                    window = data[i : i + frame_size]
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(i // frame_size)
-                    out["frame_fp"].append(hashlib.md5(window).hexdigest())
-                    out["frame_bytes"].append(len(window))
+                if fake:
+                    for i in range(0, max(len(data), 1), frame_size):
+                        window = data[i : i + frame_size]
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(i // frame_size)
+                        out["frame_fp"].append(hashlib.md5(window).hexdigest())
+                        out["frame_bytes"].append(len(window))
+                    continue
+                from feature_store_test_spark.operators.codecs import y4m_frames
+
+                if data[:9] == b"YUV4MPEG2":
+                    for i, frame in enumerate(y4m_frames(data)):
+                        raw = frame.tobytes()
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(i)
+                        out["frame_fp"].append(hashlib.md5(raw).hexdigest())
+                        out["frame_bytes"].append(len(raw))
+                else:
+                    raise NotImplementedError(
+                        "real frame fan-out supports Y4M payloads; other "
+                        "codecs need external libraries — pass fake=True "
+                        "for the deterministic stub"
+                    )
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(gen, FRAME_SCHEMA)
@@ -282,3 +296,36 @@ def resize_media(
             )
 
     return df.select(id_col, blob_col).mapInPandas(gen, out_schema)
+
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def video_features(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL video decode (Y4M raw 4:4:4, or AVI-MJPEG via the baseline
+    JPEG decoder — operators/codecs.py) over Arrow batches: container,
+    dimensions, frame count/rate, per-channel means across frames.
+    Inter-frame codecs (H.264 etc.) are out of scope without external
+    libraries — those payloads surface a decode_error row."""
+    from feature_store_test_spark.operators.codecs import decode_video
+
+    return df.select(id_col, blob_col).mapInPandas(
+        _feature_map(decode_video, VIDEO_FEATURE_SCHEMA, id_col, blob_col),
+        VIDEO_FEATURE_SCHEMA,
+    )

@@ -375,3 +375,93 @@ def q124_jpeg_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q125 — REAL video codec end to end: each doc synthesizes a short Y4M
+# clip (constant gray frames, values a closed-form function of doc_id and
+# frame index), encoded as an actual YUV4MPEG2 stream (planar 4:4:4
+# frames) and decoded back through video_features (header parse, FRAME
+# walk, YCbCr→RGB). Gray frames make the color round trip bit-exact
+# (Cb=Cr=128 exactly), so the oracle computes the same frame means in
+# closed form. AVI-MJPEG decode is property-tested in
+# tests/test_multimodal.py (lossy JPEG frames — no SQL closed form).
+# ---------------------------------------------------------------------------
+@register(
+    "q125_video_codec",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 4 AS n, 6 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    fr AS (
+      SELECT doc_id, n, w, h,
+             CAST((doc_id * 13 + f.f * 29) % 256 AS DOUBLE) AS v
+      FROM d, unnest(generate_series(0, n - 1)) AS f(f)
+    )
+    SELECT doc_id,
+           'y4m' AS container,
+           CAST(MIN(w) AS INT) AS width,
+           CAST(MIN(h) AS INT) AS height,
+           CAST(MIN(n) AS INT) AS n_frames,
+           CAST(10.0 AS DOUBLE) AS fps,
+           ROUND(MIN(n) / 10.0, 6) AS duration_s,
+           ROUND(AVG(v), 6) AS mean_r,
+           ROUND(AVG(v), 6) AS mean_g,
+           ROUND(AVG(v), 6) AS mean_b
+    FROM fr GROUP BY doc_id
+    """,
+    doc="REAL Y4M video decode (planar 4:4:4 frame walk) vs closed-form frame oracle",
+    tags=("multimodal", "codec", "video", "udf"),
+)
+def q125_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from feature_store_test_spark.operators.multimodal import video_features
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 200)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from feature_store_test_spark.operators.codecs import encode_y4m
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n, w, h = 2 + did % 4, 6 + did % 5, 4 + did % 3
+                frames = np.stack(
+                    [
+                        np.full((h, w), (did * 13 + f * 29) % 256, dtype=np.uint8)
+                        for f in range(n)
+                    ]
+                )
+                blobs.append(encode_y4m(frames, fps=10))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    clips = docs.select("doc_id").mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("blob", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = video_features(clips)
+    return feats.select(
+        "doc_id",
+        "container",
+        "width",
+        "height",
+        "n_frames",
+        "fps",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

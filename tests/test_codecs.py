@@ -313,3 +313,53 @@ def test_spark_image_features_jpeg(spark):
     assert (out[1]["width"], out[1]["height"], out[1]["bpp"]) == (12, 10, 24)
     assert out[1]["mean_g"] == pytest.approx(99.0, abs=1e-9)
     assert out[2]["mean_b"] == pytest.approx(p2[:, :, 2].astype(np.float64).mean())
+
+
+@given(
+    n=st.integers(1, 5),
+    w=st.integers(2, 16),
+    h=st.integers(2, 16),
+    fps=st.sampled_from([10, 24, 30]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_y4m_roundtrip(n, w, h, fps, seed):
+    """Y4M encode -> decode: exact dims/frame count/duration; channel
+    means within the +-1 YCbCr uint8 rounding bound per direction."""
+    from feature_store_test_spark.operators.codecs import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    got = decode_y4m(encode_y4m(frames, fps=fps))
+    assert (got["width"], got["height"], got["n_frames"]) == (w, h, n)
+    assert got["duration_s"] == pytest.approx(n / fps)
+    exp = frames.astype(np.float64).reshape(-1, 3).mean(axis=0)
+    for c, k in enumerate(("mean_r", "mean_g", "mean_b")):
+        assert got[k] == pytest.approx(exp[c], abs=2.5)
+
+
+def test_avi_mjpeg_roundtrip_and_rejects():
+    from feature_store_test_spark.operators.codecs import (
+        decode_avi_mjpeg,
+        decode_video,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    jpgs = [
+        encode_jpeg(np.full((8, 10, 3), v, dtype=np.uint8), quality=85)
+        for v in (30, 90, 210)
+    ]
+    avi = encode_avi_mjpeg(jpgs, 10, 8, fps=10)
+    got = decode_avi_mjpeg(avi)
+    assert got["n_frames"] == 3 and (got["width"], got["height"]) == (10, 8)
+    assert got["mean_b"] == pytest.approx(110.0, abs=1e-9)
+    assert decode_video(avi)["container"] == "avi-mjpeg"
+    with pytest.raises(ValueError, match="video"):
+        decode_video(b"\x00not media")
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi_mjpeg(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        from feature_store_test_spark.operators.codecs import decode_y4m, encode_y4m
+
+        decode_y4m(encode_y4m(np.zeros((2, 4, 4), np.uint8))[:-10])
