@@ -812,3 +812,76 @@ def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame
         },
     )
     return cross.unionByName(within)
+
+
+# ---------------------------------------------------------------------------
+# Q126 — C4-style SPAN dedup with document reassembly: every non-
+# overlapping 10-token span is globally deduplicated (first occurrence in
+# (doc_id, span_idx) order survives, all later repeats are REMOVED from
+# their documents), and each document is rebuilt from its surviving spans
+# in order — the "discard any repeated span" pass C4 runs over three-
+# sentence windows, on fixed-width windows since the fixture text has no
+# sentence delimiters. Differs from q19/q20/q110 (whole-doc dedup): here
+# documents SHRINK rather than drop.
+# Scale: span rows shuffle twice — once on the span value for the global
+# keep-first window (uniformly distributed; pathological repeated spans
+# are exactly what AQE skew-split handles), once on doc_id for the
+# reassembly — and each row carries one 10-token span, never whole
+# documents.
+# ---------------------------------------------------------------------------
+@register(
+    "q126_span_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sp AS (
+      SELECT doc_id, g.i AS span_idx,
+             array_to_string(t[g.i * 10 + 1 : g.i * 10 + 10], ' ') AS span
+      FROM t, unnest(generate_series(0, (len(t) - 1) // 10)) AS g(i)
+    ),
+    rk AS (
+      SELECT doc_id, span_idx, span,
+             ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+      FROM sp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_spans,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx),
+                    '') AS text_dedup
+    FROM rk GROUP BY doc_id
+    """,
+    doc="C4-style global span dedup (keep first 10-token span occurrence) + doc reassembly",
+    tags=("dedup", "text", "window", "pipeline"),
+)
+def q126_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", F.split("text", " ").alias("t"))
+    spans = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size("t") - 1) / F.lit(10)).cast("int")
+                ),
+                lambda i: F.array_join(F.slice("t", i * 10 + 1, 10), " "),
+            )
+        ).alias("span_idx", "span"),
+    )
+    # global keep-first: first occurrence in (doc_id, span_idx) total order
+    w = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("span_idx"), F.col("span"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["span"]
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
