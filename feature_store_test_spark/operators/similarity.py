@@ -421,31 +421,76 @@ def ivf_train(
     n_cells: int = 16,
     seed: int = 42,
     max_iter: int = 20,
+    fit: str = "ml",
 ) -> DataFrame:
-    """Fit IVF coarse centroids with pyspark.ml KMeans → (cid, cv) frame.
+    """Fit IVF coarse centroids → (cid, cv) frame.
 
     Vectors are L2-normalized before the (Euclidean) fit, so nearest-by-L2
     equals nearest-by-cosine and the centroids compose directly with
     ``ivf_assign``/``ivf_ann_topk``'s cosine cell assignment.
 
-    Scale: KMeans is the classic IVF coarse quantizer — distributed
-    Lloyd iterations over the corpus (or a sample; thousands of cells for
-    billions of vectors), after which the trained centroid table is tiny
-    and broadcast everywhere. Deterministic for a fixed seed + partitioning,
-    but a *training* step, not a SQL expression — queries built on it are
-    rows-only checked (equivalence/recall tests, not a DuckDB oracle).
+    Two fit paths, both deterministic for a fixed seed:
 
-    Memoized per (application id, input plan, params) — see
-    ``_memo_train``: repeated invocations in one session reuse the fitted
-    centroids instead of re-running Lloyd.
+    - ``fit="ml"``: distributed pyspark.ml KMeans over the (hash-pinned)
+      full corpus — the form that scales the FIT itself, at the cost of
+      max_iter small Spark jobs (~2-3s of per-job floor on toy data).
+    - ``fit="sample"``: seeded numpy Lloyd over a bounded deterministic
+      sample (the ``pq_train`` pattern — faiss practice: coarse-quantizer
+      quality saturates at ~10⁵ training vectors regardless of corpus
+      size), zero extra Spark jobs beyond one bounded collect.
+      ``tests/test_similarity.py`` pins its recall against the exact
+      baseline alongside the ml path's.
+
+    A *training* step either way, not a SQL expression — queries built on
+    it are rows-only checked. Memoized per (application id, input plan,
+    params) — see ``_memo_train``.
     """
+    if fit == "ml":
+        build = lambda: _ivf_fit(corpus, vec_col, n_cells, seed, max_iter)  # noqa: E731
+    elif fit == "sample":
+        build = lambda: _ivf_fit_sampled(corpus, vec_col, n_cells, seed, max_iter)  # noqa: E731
+    else:
+        raise ValueError(f"unknown fit mode {fit!r}")
     rows = _memo_train(
         corpus,
         "ivf",
-        (vec_col, n_cells, seed, max_iter),
-        lambda: _ivf_fit(corpus, vec_col, n_cells, seed, max_iter),
+        (vec_col, n_cells, seed, max_iter, fit),
+        build,
     )
     return corpus.sparkSession.createDataFrame(rows, "cid int, cv array<double>")
+
+
+def _ivf_fit_sampled(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+    max_iter: int,
+    sample_size: int = 100_000,
+) -> list[tuple[int, list[float]]]:
+    import numpy as np
+
+    n_total = corpus.count()
+    frac = min(1.0, sample_size / max(n_total, 1))
+    sampled = corpus.select(vec_col) if frac >= 1.0 else corpus.select(
+        vec_col
+    ).sample(fraction=frac, seed=seed)
+    X = np.asarray([r[0] for r in sampled.collect()], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=n_cells, replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = cents.copy()
+        for c in range(n_cells):
+            mask = assign == c
+            if mask.any():
+                new[c] = X[mask].mean(axis=0)
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
 
 
 def _ivf_fit(

@@ -302,11 +302,13 @@ def q103_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q104 — IVF-PQ composed: coarse cells (trained KMeans quantizer) restrict
-# the candidate set, PQ asymmetric distance scores only probed-cell
-# members, exact cosine rescores the top candidates — the faiss
-# billion-scale recipe end-to-end in DataFrame ops. Rows-only (two
-# training steps); recall/self-match/determinism locked in tests.
+# Q104 — IVF-PQ composed: coarse cells (trained coarse quantizer —
+# sampled-Lloyd fit, the faiss production form; q68 exercises the
+# distributed pyspark.ml fit of the same quantizer) restrict the
+# candidate set, PQ asymmetric distance scores only probed-cell members,
+# exact cosine rescores the top candidates — the billion-scale recipe
+# end-to-end in DataFrame ops. Rows-only (two training steps);
+# recall/self-match/determinism locked in tests.
 # ---------------------------------------------------------------------------
 @register(
     "q104_ivfpq_ann_topk",
@@ -323,7 +325,7 @@ def q104_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") % 10 == 0)
-    cents = ivf_train(emb, n_cells=8)
+    cents = ivf_train(emb, n_cells=8, fit="sample")
     books = pq_train(emb, m=8, k=16)
     return ivfpq_ann_topk(emb, queries, cents, books, k=5, n_probe=2, n_candidates=50)
 

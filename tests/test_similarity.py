@@ -338,3 +338,24 @@ def test_cosine_topk_arrow_matches_fold(spark, sf_dir):
         for r in cosine_topk_arrow(emb, queries, k=5, chunk_bytes=80_000).collect()
     }
     assert small == exact
+
+
+def test_ivf_sampled_fit_recall_and_determinism(spark, sf_dir):
+    """The sampled-Lloyd IVF fit (faiss practice: bounded training sample,
+    zero extra Spark jobs) must match the ml fit's guarantees: fixed-seed
+    determinism and recall@5 >= 0.4 vs exact while probing 2 of 8 cells."""
+    from feature_store_test_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    S._train_cache.clear()
+    c1 = sorted(map(tuple, S.ivf_train(emb, n_cells=8, seed=42, fit="sample").collect()))
+    S._train_cache.clear()
+    c2 = sorted(map(tuple, S.ivf_train(emb, n_cells=8, seed=42, fit="sample").collect()))
+    assert c1 == c2  # determinism across FRESH fits, not just the memo
+
+    cents = S.ivf_train(emb, n_cells=8, seed=42, fit="sample")
+    queries = emb.where(F.col("vec_id") < 20)
+    ann = S.ivf_ann_topk(emb, queries, cents, k=5, n_probe=2)
+    a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, queries, k=5).collect()}
+    assert len(a & e) / len(e) >= 0.4
