@@ -109,13 +109,19 @@ def minhash_signatures_arrays(
     keep_names = keep_cols if keep_cols is not None else ([arr_col] if keep_arr else [])
     keep = [F.col(c) for c in keep_names]
     if family == "xxhash64":
+
+        def _seeded(seed: int):
+            # factory so transform sees a UNARY lambda — a default-arg
+            # 2-arg lambda would be read as (element, index) and the
+            # seed would silently become the array position, collapsing
+            # every signature column to the same value
+            return lambda x: F.xxhash64(x, F.lit(seed))
+
         return arr_df.select(
             F.col(id_col),
             *keep,
             *[
-                F.array_min(
-                    F.transform(arr_col, lambda x, s=s: F.xxhash64(x, F.lit(s)))
-                ).alias(f"mh{s}")
+                F.array_min(F.transform(arr_col, _seeded(s))).alias(f"mh{s}")
                 for s in range(k)
             ],
         )

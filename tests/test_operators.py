@@ -238,9 +238,21 @@ def test_minhash_xxhash64_family_agrees(spark, sf_dir):
     fixture corpus stays high (both are uniform hash families over the
     same shingle sets — only bucket membership can differ)."""
     from feature_store_test_spark.data import load_table
-    from feature_store_test_spark.operators.dedup import minhash_near_dups
+    from feature_store_test_spark.operators.dedup import (
+        minhash_near_dups,
+        minhash_signatures_arrays,
+        shingle_array,
+    )
 
     docs = load_table(spark, "documents", sf_dir)
+    # the k signature columns must be genuinely independent hashes — a
+    # seed-binding slip collapses them all to one value per doc (and LSH
+    # silently degrades to a 1-hash family)
+    arr = shingle_array(docs.limit(20), "doc_id", "text")
+    sig_row = minhash_signatures_arrays(
+        arr, "doc_id", k=8, family="xxhash64"
+    ).collect()[0]
+    assert len({sig_row[f"mh{s}"] for s in range(8)}) > 1
     md5_pairs = {
         (r.id_a, r.id_b): r.jaccard
         for r in minhash_near_dups(docs, "doc_id", "text", threshold=0.5).collect()
