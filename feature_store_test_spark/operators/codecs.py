@@ -282,7 +282,7 @@ def encode_png(pixels: np.ndarray, filter_type: str = "none") -> bytes:
     )
 
 
-def decode_png(data: bytes) -> dict:
+def _png_rgb(data: bytes):
     """Real PNG decode on stdlib zlib: chunk walk with CRC verification,
     IDAT inflate, per-row unfiltering (None/Sub/Up/Average/Paeth), all
     five 8-bit color types (palette via PLTE), non-interlaced. Returns
@@ -374,6 +374,14 @@ def decode_png(data: bytes) -> dict:
         rgb = np.stack([g, g, g], axis=2)
     else:
         rgb = px[:, :, :3].astype(np.float64)
+    return rgb, nch
+
+
+def decode_png(data: bytes) -> dict:
+    """Feature-dict wrapper over ``_png_rgb`` — see the module pattern:
+    every image decoder exposes pixels (``image_pixels``) and features."""
+    rgb, nch = _png_rgb(data)
+    h, w = rgb.shape[:2]
     return {
         "width": int(w),
         "height": int(h),
@@ -648,12 +656,16 @@ def decode_jpeg(data: bytes) -> dict:
     subsampled, or arithmetic-coded streams with ValueError (errors as
     data at the pipeline layer). Output dict matches the other image
     decoders."""
-    try:
-        return _decode_jpeg(data)
-    except (IndexError, struct.error) as e:
-        # truncated/malformed segments surface as ValueError so the
-        # pipeline's errors-as-data contract catches them uniformly
-        raise ValueError(f"malformed JPEG: {e}") from e
+    rgb, nplanes = _jpeg_rgb(data)
+    h, w = rgb.shape[:2]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "bpp": int(8 * nplanes),
+        "mean_r": float(rgb[:, :, 0].mean()),
+        "mean_g": float(rgb[:, :, 1].mean()),
+        "mean_b": float(rgb[:, :, 2].mean()),
+    }
 
 
 def _decode_jpeg(data: bytes) -> dict:
@@ -784,14 +796,15 @@ def _decode_jpeg(data: bytes) -> dict:
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
         b = y + 1.772 * (cb - 128.0)
         rgb = np.clip(np.stack([r, g, b], axis=2), 0, 255)
-    return {
-        "width": int(w),
-        "height": int(h),
-        "bpp": int(8 * len(planes)),
-        "mean_r": float(rgb[:, :, 0].mean()),
-        "mean_g": float(rgb[:, :, 1].mean()),
-        "mean_b": float(rgb[:, :, 2].mean()),
-    }
+    return rgb, len(planes)
+
+
+def _jpeg_rgb(data: bytes):
+    """Pixel form of ``decode_jpeg`` with the same error wrapping."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed JPEG: {e}") from e
 
 
 # --------------------------------------------------------------------------
@@ -993,3 +1006,63 @@ def decode_video(data: bytes) -> dict:
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return decode_avi_mjpeg(data)
     raise ValueError("unsupported video format (Y4M / AVI-MJPEG supported)")
+
+
+def image_pixels(data: bytes) -> np.ndarray:
+    """Sniff-and-decode to an RGB uint8 (h, w, 3) array — the pixel form
+    of ``decode_image``, shared by the real resize path."""
+    if data[:2] == b"BM":
+        (_, _, _, _, off) = struct.unpack_from("<2sIHHI", data, 0)
+        hdr_size, w, h_signed = struct.unpack_from("<Iii", data, 14)
+        planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+        if len(data) < 54 or data[:2] != b"BM" or hdr_size < 40 or compression != 0 or bpp not in (24, 32):
+            raise ValueError("unsupported BMP")
+        h = abs(h_signed)
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3
+        raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+        rows = raw.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+        if h_signed > 0:
+            rows = rows[::-1]
+        return rows[:, :, :3][:, :, ::-1].copy()  # BGR -> RGB
+    if data[:2] == b"P6":
+        feats = decode_ppm(data)  # header walk for dims + validation
+        w, h = feats["width"], feats["height"]
+        # re-walk the header to find the payload offset (same logic)
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                while data[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while not data[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        pos += 1
+        return np.frombuffer(data, np.uint8, w * h * 3, pos).reshape(h, w, 3).copy()
+    if data[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        rgb, _ = _png_rgb(data)
+        return np.clip(rgb, 0, 255).astype(np.uint8)
+    if data[:2] == b"\xff\xd8":
+        rgb, _ = _jpeg_rgb(data)
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    raise ValueError("unsupported image format (BMP/P6-PPM/PNG/JPEG supported)")
+
+
+def resize_image_bytes(data: bytes, max_dim: int = 64) -> bytes:
+    """REAL image resize: decode (any supported format), nearest-neighbor
+    downscale so max(h, w) <= max_dim (aspect preserved, never upscales),
+    re-encode as PNG. Deterministic — index mapping uses floor sampling.
+    """
+    px = image_pixels(data)
+    h, w = px.shape[:2]
+    scale = max(h, w) / max_dim
+    if scale > 1.0:
+        th, tw = max(1, int(h / scale)), max(1, int(w / scale))
+        yi = (np.arange(th) * h // th).astype(np.int64)
+        xi = (np.arange(tw) * w // tw).astype(np.int64)
+        px = px[yi][:, xi]
+    return encode_png(px)

@@ -6,15 +6,19 @@ partition behavior, Arrow batch shapes, frame fan-out — is real and tested.
 The codec tier is split:
 
 - REAL decoders on stdlib+numpy only (operators/codecs.py):
-  ``audio_features`` (WAV PCM) and ``image_features`` (BMP / P6 PPM /
-  PNG via stdlib zlib / baseline JPEG — marker walk, stream-defined
-  Huffman tables, dequant + IDCT) decode actual payloads — no stub,
-  no fake flag.
-- STUBBED decoders for formats needing external libraries (video
-  containers/codecs): ``decode_media`` raises NotImplementedError by default
-  (clearly-marked stub), or applies a deterministic fake decode
-  (``fake=True``) whose outputs are pure functions of the bytes — so the
-  whole pipeline is testable and oracle-checkable end to end.
+  ``audio_features`` (WAV PCM), ``image_features`` (BMP / P6 PPM / PNG
+  via stdlib zlib / baseline JPEG — marker walk, stream-defined Huffman
+  tables, dequant + IDCT), ``video_features`` (Y4M raw 4:4:4 frames;
+  AVI-MJPEG via the JPEG decoder), real frame fan-out for Y4M in
+  ``decode_media``, and real pixel resize (decode → nearest-neighbor
+  downscale → PNG re-encode) in ``resize_media``.
+- STUBBED tiers that genuinely need external artifacts: inter-frame
+  video codecs (H.264 etc. — ``decode_media`` raises
+  NotImplementedError for them) and learned embedding models
+  (``extract_features`` fake encoder — a trained vision/audio encoder
+  is a model, not a codec). The ``fake=True`` paths stay available
+  everywhere as deterministic pure-byte functions so the plumbing is
+  oracle-checkable without media payloads.
 
 Scale notes: binary payloads make row sizes large and skewed — the batch
 size knob on mapInPandas (spark.sql.execution.arrow.maxRecordsPerBatch)
@@ -260,39 +264,57 @@ def resize_media(
     blob_col: str = "blob",
     id_col: str = "doc_id",
     target_bytes: int = 1024,
+    max_dim: int = 64,
     fake: bool = False,
 ) -> DataFrame:
-    """Downsample a blob to ≤ ``target_bytes`` (the thumbnail/resample
-    step). ``fake=True`` runs the deterministic stub: keep every
-    ceil(n/target)-th byte (stride sampling — pure function of the bytes);
-    ``fake=False`` raises NotImplementedError (STUB — real codecs resample
-    pixels/samples, not bytes). Output keeps the id, the resized blob, and
-    its new byte length.
+    """Downsample a blob (the thumbnail/resample step).
+
+    ``fake=False`` (the REAL path): image payloads (BMP/PPM/PNG/JPEG)
+    decode to pixels, nearest-neighbor downscale so max(h, w) <=
+    ``max_dim`` (aspect preserved, never upscales) and re-encode as PNG
+    (operators/codecs.py resize_image_bytes). Non-image payloads surface
+    a ``resize_error`` instead of bytes — errors as data, like the
+    feature extractors. ``fake=True`` keeps the deterministic stub:
+    every ceil(n/target_bytes)-th byte by stride (a pure function of
+    the bytes, oracle-friendly). Output keeps the id, the resized blob,
+    and its new byte length.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media codecs are not available in this environment; "
-            "pass fake=True for the deterministic stub resizer"
-        )
     out_schema = T.StructType(
         [
             df.schema[id_col],
             T.StructField("resized", T.BinaryType()),
             T.StructField("resized_bytes", T.IntegerType()),
+            T.StructField("resize_error", T.StringType()),
         ]
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from feature_store_test_spark.operators.codecs import resize_image_bytes
+
         for pdf in batches:
-            blobs, sizes = [], []
+            blobs, sizes, errs = [], [], []
             for blob in pdf[blob_col]:
                 data = bytes(blob)
-                stride = max(1, -(-len(data) // target_bytes))  # ceil div
-                small = data[::stride]
+                if fake:
+                    stride = max(1, -(-len(data) // target_bytes))  # ceil div
+                    small: bytes | None = data[::stride]
+                    err = None
+                else:
+                    try:
+                        small = resize_image_bytes(data, max_dim=max_dim)
+                        err = None
+                    except (ValueError, struct_error) as e:
+                        small, err = None, str(e)
                 blobs.append(small)
-                sizes.append(len(small))
+                sizes.append(len(small) if small is not None else None)
+                errs.append(err)
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "resized": blobs, "resized_bytes": sizes}
+                {
+                    id_col: pdf[id_col],
+                    "resized": blobs,
+                    "resized_bytes": sizes,
+                    "resize_error": errs,
+                }
             )
 
     return df.select(id_col, blob_col).mapInPandas(gen, out_schema)

@@ -65,8 +65,9 @@ def test_extract_features_shape_and_normalization(spark, sf_dir):
 
 def test_resize_media_bounds_and_determinism(spark, sf_dir):
     df = docs_with_blob(spark, sf_dir)
-    with pytest.raises(NotImplementedError, match="codec"):
-        resize_media(df, fake=False)
+    # real mode on NON-image bytes: errors-as-data, no crash
+    real = resize_media(df.limit(3), fake=False).collect()
+    assert all(r["resize_error"] is not None and r["resized"] is None for r in real)
     out = resize_media(df, target_bytes=100, fake=True).join(
         df.select("doc_id", F.octet_length("blob").alias("n_bytes")), "doc_id"
     )
@@ -132,3 +133,47 @@ def test_video_features_and_real_frame_fanout(spark):
     for r, g in zip(rows, gray):
         assert r["frame_fp"] == hashlib.md5(g.tobytes()).hexdigest()
         assert r["frame_bytes"] == g.size
+
+
+def test_resize_media_real_images(spark):
+    """Real resize: decode (any supported image format), nearest-neighbor
+    downscale to max_dim, PNG re-encode — output decodes to the right
+    dims, constant-color content survives exactly, small images pass
+    through unscaled."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from feature_store_test_spark.operators.codecs import (
+        decode_png,
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+    )
+
+    big = np.full((96, 128, 3), 77, dtype=np.uint8)
+    rng = np.random.default_rng(9)
+    small = rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(big, filter_type="mixed"))),
+        (2, bytearray(encode_bmp(small))),
+        (3, bytearray(encode_jpeg(big, quality=85))),
+    ]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("blob", T.BinaryType())]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in resize_media(
+            spark.createDataFrame(rows, schema), max_dim=32, fake=False
+        ).collect()
+    }
+    assert all(out[i]["resize_error"] is None for i in (1, 2, 3))
+    d1 = decode_png(bytes(out[1]["resized"]))
+    assert (d1["width"], d1["height"]) == (32, 24)  # aspect preserved
+    assert d1["mean_g"] == pytest.approx(77.0, abs=1e-9)  # constant survives
+    d2 = decode_png(bytes(out[2]["resized"]))
+    assert (d2["width"], d2["height"]) == (12, 10)  # no upscale
+    assert d2["mean_r"] == pytest.approx(small[:, :, 0].astype(np.float64).mean())
+    d3 = decode_png(bytes(out[3]["resized"]))
+    assert (d3["width"], d3["height"]) == (32, 24)
+    assert d3["mean_b"] == pytest.approx(77.0, abs=1.0)  # through JPEG loss
