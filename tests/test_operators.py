@@ -272,3 +272,33 @@ def test_minhash_xxhash64_family_agrees(spark, sf_dir):
     assert len(common) / len(md5_pairs) >= 0.8
     # every emitted pair respects the threshold (no bucket-collision leak)
     assert all(j >= 0.5 for j in xx_pairs.values())
+
+
+def test_adaptive_collapse_is_cost_based(spark, sf_dir):
+    """The dup-set probe caches the duplicate FRACTION and gates the
+    collapse on a crossover threshold: the fixture corpus (trace-level
+    duplication) stays on the direct path, a dup-heavy corpus crosses
+    it; thresholds share one cached probe per input identity."""
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.operators import dedup as D
+
+    docs = load_table(spark, "documents", sf_dir)
+    arr = D.shingle_array(docs, "doc_id", "text")
+    D._dup_probe_cache.clear()
+    # fixture: a handful of dup docs in thousands -> below 5%, above 0%
+    assert not D.has_duplicate_sets(arr, "doc_id", "shingles", min_frac=0.05)
+    assert len(D._dup_probe_cache) == 1
+    frac = next(iter(D._dup_probe_cache.values()))
+    assert 0.0 <= frac < 0.05
+    # a second threshold reuses the SAME probe (no new entry)
+    D.has_duplicate_sets(arr, "doc_id", "shingles", min_frac=0.0)
+    assert len(D._dup_probe_cache) == 1
+
+    # dup-heavy corpus (every doc duplicated once): fraction = 0.5
+    from pyspark.sql import functions as F
+
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    arr2 = D.shingle_array(doubled, "doc_id", "text")
+    assert D.has_duplicate_sets(arr2, "doc_id", "shingles", min_frac=0.05)
