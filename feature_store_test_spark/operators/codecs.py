@@ -73,6 +73,8 @@ def decode_wav(data: bytes) -> dict:
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             payload = body
@@ -282,6 +284,13 @@ def encode_png(pixels: np.ndarray, filter_type: str = "none") -> bytes:
     )
 
 
+def _png_rgb_safe(data: bytes):
+    try:
+        return _png_rgb(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"malformed PNG: {e}") from e
+
+
 def _png_rgb(data: bytes):
     """Real PNG decode on stdlib zlib: chunk walk with CRC verification,
     IDAT inflate, per-row unfiltering (None/Sub/Up/Average/Paeth), all
@@ -379,8 +388,9 @@ def _png_rgb(data: bytes):
 
 def decode_png(data: bytes) -> dict:
     """Feature-dict wrapper over ``_png_rgb`` — see the module pattern:
-    every image decoder exposes pixels (``image_pixels``) and features."""
-    rgb, nch = _png_rgb(data)
+    every image decoder exposes pixels (``image_pixels``) and features.
+    Malformed chunk structure surfaces as ValueError (errors as data)."""
+    rgb, nch = _png_rgb_safe(data)
     h, w = rgb.shape[:2]
     return {
         "width": int(w),
@@ -868,6 +878,12 @@ def _y4m_parse_header(data: bytes) -> tuple[dict, int]:
             params[chr(tok[0])] = tok[1:].decode()
     if params.get("C", "420jpeg") != "444":
         raise ValueError("only C444 Y4M supported")
+    if "W" not in params or "H" not in params:
+        raise ValueError("Y4M header missing W/H")
+    try:
+        int(params["W"]), int(params["H"])
+    except ValueError as e:
+        raise ValueError(f"bad Y4M dimensions: {e}") from e
     return params, end + 1
 
 
@@ -982,7 +998,10 @@ def decode_avi_mjpeg(data: bytes) -> dict:
                 frames.append(decode_jpeg(data[body_start : body_start + size]))
             pos = body_start + size + (size & 1)
 
-    walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
+    try:
+        walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed AVI: {e}") from e
     if not frames:
         raise ValueError("AVI contains no video frames")
     w, h = frames[0]["width"], frames[0]["height"]
@@ -1044,7 +1063,7 @@ def image_pixels(data: bytes) -> np.ndarray:
         pos += 1
         return np.frombuffer(data, np.uint8, w * h * 3, pos).reshape(h, w, 3).copy()
     if data[: len(_PNG_MAGIC)] == _PNG_MAGIC:
-        rgb, _ = _png_rgb(data)
+        rgb, _ = _png_rgb_safe(data)
         return np.clip(rgb, 0, 255).astype(np.uint8)
     if data[:2] == b"\xff\xd8":
         rgb, _ = _jpeg_rgb(data)

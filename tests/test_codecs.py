@@ -363,3 +363,45 @@ def test_avi_mjpeg_roundtrip_and_rejects():
         from feature_store_test_spark.operators.codecs import decode_y4m, encode_y4m
 
         decode_y4m(encode_y4m(np.zeros((2, 4, 4), np.uint8))[:-10])
+
+
+@given(
+    prefix=st.sampled_from(
+        [
+            b"", b"RIFF", b"RIFF1234WAVE", b"RIFF1234AVI ", b"BM", b"P6",
+            b"P6\n", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"YUV4MPEG2",
+            b"YUV4MPEG2 W4 H4\n", b"YUV4MPEG2 C444\n",
+        ]
+    ),
+    body=st.binary(max_size=80),
+)
+@settings(max_examples=200, deadline=None)
+def test_decoders_fail_controlled_on_junk(prefix, body):
+    """Every decoder must reject arbitrary bytes with ValueError (the
+    errors-as-data contract) — never an uncontrolled IndexError/KeyError/
+    struct.error escaping from a malformed header walk."""
+    from feature_store_test_spark.operators.codecs import (
+        decode_image,
+        decode_video,
+        decode_wav,
+    )
+
+    data = prefix + body
+    for dec in (decode_wav, decode_image, decode_video):
+        try:
+            dec(data)
+        except ValueError:
+            pass
+
+
+def test_wav_truncated_fmt_is_controlled():
+    import struct
+
+    from feature_store_test_spark.operators.codecs import decode_wav
+
+    data = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00"
+    )
+    with pytest.raises(ValueError, match="truncated fmt"):
+        decode_wav(data)
