@@ -371,15 +371,17 @@ _Q39_HAMMING = " + ".join(
     {_Q39_FP_CTE}
     SELECT a.f AS fp_a, b.f AS fp_b,
            CAST(({_Q39_HAMMING}) AS INT) AS hamming,
-           a.ids AS ids_a, b.ids AS ids_b,
+           array_to_string(a.ids, ',') AS ids_a,
+           array_to_string(b.ids, ',') AS ids_b,
            CAST(a.n * b.n AS BIGINT) AS n_pairs
     FROM fpg a JOIN fpg b ON a.f < b.f
     WHERE ({_Q39_HAMMING}) <= {_HAMMING_T}
     UNION ALL
-    SELECT f, f, 0, ids, ids, CAST(n * (n - 1) // 2 AS BIGINT)
+    SELECT f, f, 0, array_to_string(ids, ','), array_to_string(ids, ','),
+           CAST(n * (n - 1) // 2 AS BIGINT)
     FROM fpg WHERE n >= 2
     """,
-    doc=f"bounded simhash near-dup contract: fingerprint pairs (hamming <= {_HAMMING_T}) + member-id arrays",
+    doc=f"bounded simhash near-dup contract: fingerprint pairs (hamming <= {_HAMMING_T}) + member-id lists",
     tags=("dedup", "simhash", "join"),
 )
 def q39b_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,7 +391,11 @@ def q39b_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     with >= 2 members. ``n_pairs`` is the doc-pair count the exploded
     view would emit for the row (n_a·n_b across groups, C(n, 2) within),
     so Σ n_pairs audits the exploded cardinality without materializing
-    it."""
+    it. Member ids are emitted as comma-joined STRINGS (sorted
+    ascending), not arrays: the correctness harness canonicalizes
+    results through a pandas sort, which cannot hash container cells —
+    oracle-checked outputs must stay scalar-typed (see
+    tests/test_oracle_dtypes.py)."""
     fpg = _simhash_fp_groups(spark, sf_dir)
     fp_pairs = _simhash_fp_pairs(fpg)
     ga = fpg.select(F.col("f").alias("fa"), F.col("ids").alias("ids_a"))
@@ -401,18 +407,19 @@ def q39b_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fa").alias("fp_a"),
             F.col("fb").alias("fp_b"),
             "hamming",
-            "ids_a",
-            "ids_b",
+            F.array_join(F.col("ids_a").cast("array<string>"), ",").alias("ids_a"),
+            F.array_join(F.col("ids_b").cast("array<string>"), ",").alias("ids_b"),
             (F.size("ids_a").cast("bigint") * F.size("ids_b")).alias("n_pairs"),
         )
     )
     n = F.size("ids").cast("bigint")
+    ids_s = F.array_join(F.col("ids").cast("array<string>"), ",")
     within = fpg.where(F.size("ids") >= 2).select(
         F.col("f").alias("fp_a"),
         F.col("f").alias("fp_b"),
         F.lit(0).cast("int").alias("hamming"),
-        F.col("ids").alias("ids_a"),
-        F.col("ids").alias("ids_b"),
+        ids_s.alias("ids_a"),
+        ids_s.alias("ids_b"),
         (n * (n - 1) / F.lit(2)).cast("bigint").alias("n_pairs"),
     )
     return cross.unionByName(within)

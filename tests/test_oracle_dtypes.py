@@ -71,6 +71,59 @@ def test_numeric_dtypes_survive_pandas(spark):
     )
 
 
+def test_no_container_types_in_oracle_outputs(spark):
+    """Round-3 lesson (q39b in CORRECTNESS_r03): the driver canonicalizes
+    both result sets through pandas ``DataFrame.sort_values``, which
+    factorizes object columns via a hash table — a top-level
+    Array/Map/Struct column arrives as a list/dict cell and crashes with
+    ``TypeError: unhashable type`` before any comparison. Same bug class
+    as round 1's dtype drift, one level up: the local comparator's
+    tuple-sort handles containers fine, so only this guard (not the
+    oracle gate) catches it. Every oracle-checked query must keep a
+    scalar-only top-level schema on BOTH engines; serialize member lists
+    to sorted comma-joined strings instead (q39b does this now)."""
+    from pyspark.sql import types as T
+
+    bad: list[tuple[str, str, str]] = []
+    con = duckdb_connection(SF_DIR)
+    for name, spec in all_queries().items():
+        if spec.oracle is None:
+            continue
+        sdf = spec.fn(spark, SF_DIR)  # plan only — never executed
+        for f in sdf.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+        rel = con.sql("SELECT * FROM (" + spec.oracle + ") LIMIT 0")
+        for col, typ in zip(rel.columns, rel.types):
+            ts = str(typ)
+            if "[]" in ts or ts.startswith(("STRUCT", "MAP", "LIST")):
+                bad.append((name, col, f"duckdb:{ts}"))
+    assert not bad, (
+        "container-typed columns in oracle-checked outputs (the driver's "
+        "pandas canonicalizer cannot hash list/dict cells): " + repr(bad)
+    )
+
+
+def test_oracle_results_survive_pandas_sort_values():
+    """Emulate the driver's exact canonicalization — ``sort_values`` over
+    every column of every oracle's materialized sf0.001 result. DuckDB
+    side only (cheap); the Spark side is structurally covered by
+    ``test_no_container_types_in_oracle_outputs`` (scalar schema => no
+    unhashable cells) and value-equal to this result via the oracle
+    gate."""
+    con = duckdb_connection(SF_DIR)
+    failures: list[tuple[str, str]] = []
+    for name, spec in all_queries().items():
+        if spec.oracle is None:
+            continue
+        df = con.execute(spec.oracle).df()
+        try:
+            df.sort_values(list(df.columns))
+        except TypeError as e:
+            failures.append((name, str(e)))
+    assert not failures, f"driver canonicalization would crash: {failures}"
+
+
 @pytest.mark.parametrize("name", ["q40_sessionize", "q51_data_quality"])
 def test_round1_red_queries_match_via_pandas(spark, name):
     """The two round-1 driver reds, compared through the pandas path."""
