@@ -285,9 +285,11 @@ def encode_png(pixels: np.ndarray, filter_type: str = "none") -> bytes:
 
 
 def _png_rgb_safe(data: bytes):
+    import zlib
+
     try:
         return _png_rgb(data)
-    except (IndexError, KeyError, struct.error) as e:
+    except (IndexError, KeyError, struct.error, zlib.error) as e:
         raise ValueError(f"malformed PNG: {e}") from e
 
 
@@ -813,7 +815,7 @@ def _jpeg_rgb(data: bytes):
     """Pixel form of ``decode_jpeg`` with the same error wrapping."""
     try:
         return _decode_jpeg(data)
-    except (IndexError, struct.error) as e:
+    except (IndexError, KeyError, struct.error) as e:
         raise ValueError(f"malformed JPEG: {e}") from e
 
 

@@ -472,11 +472,23 @@ def _ivf_fit_sampled(
 
     n_total = corpus.count()
     frac = min(1.0, sample_size / max(n_total, 1))
-    sampled = corpus.select(vec_col) if frac >= 1.0 else corpus.select(
-        vec_col
-    ).sample(fraction=frac, seed=seed)
+    # Content-defined sampling + content-defined ordering, mirroring the
+    # _ivf_fit pinning: a partition-seeded .sample() selects DIFFERENT
+    # rows under a different partition layout, and .collect() returns
+    # them in partition order — either would make "deterministic for a
+    # fixed seed" hold only for a fixed layout. Hash-threshold selection
+    # and a lexicographic sort of the collected matrix depend on data
+    # content alone.
+    sampled = corpus.select(vec_col)
+    if frac < 1.0:
+        bound = int(frac * (1 << 31))
+        sampled = sampled.where(
+            F.pmod(F.xxhash64(F.col(vec_col), F.lit(seed)), F.lit(1 << 31))
+            < F.lit(bound)
+        )
     X = np.asarray([r[0] for r in sampled.collect()], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = X[np.lexsort(X.T[::-1])]
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=n_cells, replace=False)].copy()
     for _ in range(max_iter):

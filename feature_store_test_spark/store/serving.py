@@ -64,12 +64,35 @@ class ServingSession:
         self.refresh()
 
     @staticmethod
-    def shard_of(key_value, n_shards: int) -> int:
+    def _key_str(key_value) -> str:
+        """Render a key exactly as Spark's ``CAST(key AS STRING)`` does.
+
+        Python ``str()`` and Spark's cast agree only for int and str;
+        they diverge for bool ('True' vs 'true') and for float/decimal/
+        timestamp formatting — a router using ``str()`` there would
+        compute a different shard than the one holding the key and every
+        lookup would miss. bool is normalized explicitly; other key
+        types are rejected so the divergence is an error at routing
+        time, not a silent 100% miss rate."""
+        if isinstance(key_value, bool):
+            return "true" if key_value else "false"
+        if isinstance(key_value, (int, str)):
+            return str(key_value)
+        raise TypeError(
+            "sharded serving keys must be int, str, or bool — "
+            f"{type(key_value).__name__} keys render differently in "
+            "Python str() vs Spark CAST(... AS STRING), so the router "
+            "and the snapshot filter would disagree on shard ownership"
+        )
+
+    @classmethod
+    def shard_of(cls, key_value, n_shards: int) -> int:
         """Shard id for a key — pure Python, so request routers compute it
         without Spark. Matches the snapshot filter bit-for-bit: first 15
-        md5 hex digits of ``str(key)`` as an integer, mod ``n_shards``
-        (15 hex digits = 60 bits, inside BIGINT for the SQL side)."""
-        digest = hashlib.md5(str(key_value).encode()).hexdigest()[:15]
+        md5 hex digits of the Spark-cast string rendering as an integer,
+        mod ``n_shards`` (15 hex digits = 60 bits, inside BIGINT for the
+        SQL side)."""
+        digest = hashlib.md5(cls._key_str(key_value).encode()).hexdigest()[:15]
         return int(digest, 16) % n_shards
 
     def _shard_filter(self, key: str) -> F.Column:

@@ -31,6 +31,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from feature_store_test_spark.operators.dedup import (
     jaccard_verify_arrays,
@@ -141,9 +142,13 @@ class NearDupIngest:
         # best corpus match per batch doc
         best_cross = None
         if cross_pairs is not None:
+            # best match = highest jaccard, smallest id on ties. min_by
+            # over (-jaccard, id) keeps the tiebreak type-agnostic —
+            # negating the id itself would force a numeric cast and
+            # break string id_cols.
             best_cross = (
                 cross_pairs.groupBy("id_a")
-                .agg(F.max_by("id_b", F.struct("jaccard", (-F.col("id_b")).alias("t"))).alias("matched_id"),
+                .agg(F.min_by("id_b", F.struct((-F.col("jaccard")).alias("nj"), F.col("id_b").alias("t"))).alias("matched_id"),
                      F.max("jaccard").alias("jaccard"))
             )
 
@@ -166,7 +171,8 @@ class NearDupIngest:
                 best_cross.withColumnRenamed("id_a", id_c), id_c, "left"
             )
         else:
-            report = report.withColumn("matched_id", F.lit(None).cast("long")).withColumn(
+            id_type = batch.schema[id_c].dataType
+            report = report.withColumn("matched_id", F.lit(None).cast(id_type)).withColumn(
                 "jaccard", F.lit(None).cast("double")
             )
         report = report.select(
@@ -188,8 +194,12 @@ class NearDupIngest:
         out = self.spark.createDataFrame(rows, report.schema)
 
         novel = [r[id_c] for r in rows if r["status"] == "novel"]
+        # the id column keeps the BATCH's type (constructor takes any
+        # id_col): a hardcoded long would break the semi-join for string
+        # ids and fork the first batch's report schema from later ones
         novel_df = self.spark.createDataFrame(
-            [(i,) for i in novel], f"{id_c} long"
+            [(i,) for i in novel],
+            T.StructType([T.StructField(id_c, batch.schema[id_c].dataType)]),
         )
         batch.join(novel_df, id_c, "left_semi").write.mode("append").parquet(
             self.corpus_path

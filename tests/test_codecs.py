@@ -172,6 +172,57 @@ def test_png_rejects_corruption():
         decode_png(bytes(bad))
 
 
+def test_png_valid_crc_bad_deflate_is_controlled():
+    """Chunk CRCs valid but IDAT deflate stream is garbage/truncated:
+    zlib.error must be mapped to ValueError (errors as data), not escape
+    and kill the Spark stage."""
+    import struct
+    import zlib
+
+    from feature_store_test_spark.operators.codecs import decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    for idat in (b"\x12garbage-not-deflate\x00" * 3,
+                 zlib.compress(b"\x00" + b"\x01" * 12 * 4)[:-6]):
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="malformed PNG"):
+            decode_png(png)
+
+
+def test_jpeg_undefined_quant_table_is_controlled():
+    """Structurally valid JPEG whose SOF0 references a quant-table id
+    that no DQT defined: the KeyError on the table lookup must surface
+    as ValueError, not escape the decode_error wrapper."""
+    import struct
+
+    from feature_store_test_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    pos = 2
+    while pos + 4 <= len(good):  # rewrite SOF0 component Tq ids to 3
+        marker, size = good[pos : pos + 2], struct.unpack_from(">H", good, pos + 2)[0]
+        if marker == b"\xff\xc0":
+            ncomp = good[pos + 9]
+            for c in range(ncomp):
+                good[pos + 10 + 3 * c + 2] = 3  # undefined quant table id
+            break
+        pos += 2 + size
+    with pytest.raises(ValueError, match="malformed JPEG"):
+        decode_jpeg(bytes(good))
+
+
 def test_png_palette_decode():
     """Color type 3: indices map through the PLTE chunk."""
     import struct

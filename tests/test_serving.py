@@ -119,3 +119,29 @@ def test_sharded_serving_rejects_bad_shard(spark, tmp_path):
         ServingSession(fg, n_shards=4, shard=4)
     with pytest.raises(ValueError):
         ServingSession(fg, n_shards=0, shard=0)
+
+
+def test_shard_of_matches_spark_cast_semantics(spark):
+    """shard_of must hash the SPARK string rendering of the key: bool
+    normalizes to 'true'/'false' (Python str() says 'True'), and
+    unsupported key types (whose Python/Spark renderings diverge) are
+    rejected loudly instead of silently misrouting every lookup."""
+    import hashlib
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from feature_store_test_spark.store.serving import ServingSession
+
+    for py_key in (True, False, 7, -3, "user-9", ""):
+        spark_str = (
+            spark.range(1)
+            .select(F.lit(py_key).cast("string").alias("s"))
+            .first()["s"]
+        )
+        want = int(hashlib.md5(spark_str.encode()).hexdigest()[:15], 16) % 8
+        assert ServingSession.shard_of(py_key, 8) == want, (py_key, spark_str)
+
+    for bad in (1.5, None, object()):
+        with _pytest.raises(TypeError, match="int, str, or bool"):
+            ServingSession.shard_of(bad, 8)

@@ -353,6 +353,28 @@ def test_ivf_sampled_fit_recall_and_determinism(spark, sf_dir):
     c2 = sorted(map(tuple, S.ivf_train(emb, n_cells=8, seed=42, fit="sample").collect()))
     assert c1 == c2  # determinism across FRESH fits, not just the memo
 
+    # ...and across a DIFFERENT partition layout: collect() returns rows
+    # in partition order, and a partition-seeded sample would select
+    # different rows — the content-hash selection + lexicographic sort
+    # must erase both dependencies.
+    S._train_cache.clear()
+    c3 = sorted(
+        map(
+            tuple,
+            S.ivf_train(
+                emb.repartition(7), n_cells=8, seed=42, fit="sample"
+            ).collect(),
+        )
+    )
+    assert c1 == c3
+
+    # the threshold-sampling branch (frac < 1) is layout-independent too
+    s1 = S._ivf_fit_sampled(emb, "embedding", 4, 42, 5, sample_size=200)
+    s2 = S._ivf_fit_sampled(
+        emb.repartition(5), "embedding", 4, 42, 5, sample_size=200
+    )
+    assert s1 == s2
+
     cents = S.ivf_train(emb, n_cells=8, seed=42, fit="sample")
     queries = emb.where(F.col("vec_id") < 20)
     ann = S.ivf_ann_topk(emb, queries, cents, k=5, n_probe=2)

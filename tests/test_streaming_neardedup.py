@@ -70,3 +70,27 @@ def test_neardup_ingest_short_docs_accepted(spark, tmp_path):
         docs(spark, [(1, "just two"), (2, BASE)])).collect()}
     assert r[1]["status"] == "novel" and r[2]["status"] == "novel"
     assert sorted(x["doc_id"] for x in ing.corpus().collect()) == [1, 2]
+
+
+def test_neardup_ingest_string_ids(spark, tmp_path):
+    """id_col is a constructor parameter — non-long ids must keep their
+    type through the no-state null cast, the novel semi-join, and the
+    report schema (which must not fork between batch 1 and batch 2)."""
+    schema = T.StructType(
+        [T.StructField("uri", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    ing = NearDupIngest(spark, str(tmp_path), id_col="uri", threshold=0.5)
+    other = "one two three four five six seven eight nine ten " * 3
+
+    b1 = ing.process_batch(spark.createDataFrame(
+        [("s3://a", BASE), ("s3://b", other)], schema))
+    r1 = {r["uri"]: r for r in b1.collect()}
+    assert r1["s3://a"]["status"] == "novel" and r1["s3://b"]["status"] == "novel"
+
+    b2 = ing.process_batch(spark.createDataFrame(
+        [("s3://c", mutate(BASE, 4))], schema))
+    r2 = {r["uri"]: r for r in b2.collect()}
+    assert r2["s3://c"]["status"] == "near_dup"
+    assert r2["s3://c"]["matched_id"] == "s3://a"
+    assert b1.schema == b2.schema  # first-batch report must not fork
+    assert sorted(r["uri"] for r in ing.corpus().collect()) == ["s3://a", "s3://b"]
