@@ -976,14 +976,13 @@ def encode_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def decode_avi_mjpeg(data: bytes) -> dict:
-    """Real AVI-MJPEG decode: RIFF chunk walk to the movi LIST, each
-    00dc/00db frame decoded by ``decode_jpeg``; frame rate from avih.
-    Raises ValueError on non-AVI payloads or non-MJPEG frames."""
+def _avi_walk(data: bytes) -> tuple[float, list[bytes]]:
+    """RIFF chunk walk shared by the feature and frame paths: returns
+    (fps, per-frame JPEG byte slices from 00dc/00db chunks)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     fps = 0.0
-    frames: list[dict] = []
+    jpegs: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
         nonlocal fps
@@ -997,13 +996,34 @@ def decode_avi_mjpeg(data: bytes) -> dict:
                 (usec,) = struct.unpack_from("<I", data, body_start)
                 fps = 1_000_000 / usec if usec else 0.0
             elif tag in (b"00dc", b"00db"):
-                frames.append(decode_jpeg(data[body_start : body_start + size]))
+                jpegs.append(data[body_start : body_start + size])
             pos = body_start + size + (size & 1)
 
     try:
         walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
     except (IndexError, struct.error) as e:
         raise ValueError(f"malformed AVI: {e}") from e
+    return fps, jpegs
+
+
+def avi_mjpeg_frames(data: bytes):
+    """Yield (h, w, 3) uint8 RGB frames from an AVI-MJPEG container —
+    the AVI twin of ``y4m_frames`` (same dtype/quantization), so frame
+    fingerprints are container-independent for identical pixels."""
+    _, jpegs = _avi_walk(data)
+    if not jpegs:
+        raise ValueError("AVI contains no video frames")
+    for j in jpegs:
+        rgb, _ = _jpeg_rgb(j)
+        yield np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_avi_mjpeg(data: bytes) -> dict:
+    """Real AVI-MJPEG decode: RIFF chunk walk to the movi LIST, each
+    00dc/00db frame decoded by ``decode_jpeg``; frame rate from avih.
+    Raises ValueError on non-AVI payloads or non-MJPEG frames."""
+    fps, jpegs = _avi_walk(data)
+    frames = [decode_jpeg(j) for j in jpegs]
     if not frames:
         raise ValueError("AVI contains no video frames")
     w, h = frames[0]["width"], frames[0]["height"]

@@ -185,21 +185,28 @@ def decode_media(
                         out["frame_fp"].append(hashlib.md5(window).hexdigest())
                         out["frame_bytes"].append(len(window))
                     continue
-                from feature_store_test_spark.operators.codecs import y4m_frames
+                from feature_store_test_spark.operators.codecs import (
+                    avi_mjpeg_frames,
+                    y4m_frames,
+                )
 
                 if data[:9] == b"YUV4MPEG2":
-                    for i, frame in enumerate(y4m_frames(data)):
-                        raw = frame.tobytes()
-                        out["doc_id"].append(doc_id)
-                        out["frame_idx"].append(i)
-                        out["frame_fp"].append(hashlib.md5(raw).hexdigest())
-                        out["frame_bytes"].append(len(raw))
+                    frames = y4m_frames(data)
+                elif data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    frames = avi_mjpeg_frames(data)
                 else:
                     raise NotImplementedError(
-                        "real frame fan-out supports Y4M payloads; other "
-                        "codecs need external libraries — pass fake=True "
-                        "for the deterministic stub"
+                        "real frame fan-out supports Y4M and AVI-MJPEG "
+                        "payloads; inter-frame codecs need external "
+                        "libraries — pass fake=True for the "
+                        "deterministic stub"
                     )
+                for i, frame in enumerate(frames):
+                    raw = frame.tobytes()
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_fp"].append(hashlib.md5(raw).hexdigest())
+                    out["frame_bytes"].append(len(raw))
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(gen, FRAME_SCHEMA)

@@ -232,6 +232,137 @@ def lsh_bucket(vec_col: str | Column, n_planes: int, dim: int) -> Column:
     return F.concat(*bits)
 
 
+def _grid_dirs(g: int, dim: int) -> list[list[float]]:
+    """``g`` orthonormal directions from the md5-derived coefficient
+    family (Gram–Schmidt) — pinned constants, no RNG state."""
+    import math
+
+    dirs: list[list[float]] = []
+    for row in _hyperplane_coefs(g, dim):
+        v = [float(x) for x in row]
+        for u in dirs:
+            d = sum(x * y for x, y in zip(v, u))
+            v = [x - d * y for x, y in zip(v, u)]
+        n = math.sqrt(sum(x * x for x in v))
+        dirs.append([x / n for x in v])
+    return dirs
+
+
+def _grid_cells(
+    vec_col: str | Column, threshold: float, dim: int, g: int = 2
+) -> Column:
+    """ε-grid cell vector (array<long> of ``g`` coordinates) of a
+    vector's normalized projections onto pinned orthonormal directions —
+    the COMPLETE sub-bucketing primitive for cosine-threshold pair
+    generation (unlike sign-bit LSH, which loses recall).
+
+    For unit vectors, cos(a,b) ≥ t ⇒ ‖a−b‖ ≤ √(2−2t) =: ε, and by
+    Cauchy–Schwarz |⟨a,u_i⟩ − ⟨b,u_i⟩| ≤ ‖a−b‖ for each unit u_i — so a
+    qualifying pair's cells differ by at most 1 IN EVERY coordinate, and
+    probing the 3^g adjacent-cell combinations is exhaustive. Pruning
+    multiplies across coordinates and sharpens as t → 1 (ε shrinks):
+    strong for SemDeDup-style t ≥ 0.9, weak for loose thresholds —
+    which is why callers engage it cost-based, only where all-pairs
+    would go quadratic."""
+    import math
+
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    eps = math.sqrt(max(2.0 * (1.0 - threshold), 1e-12))
+    nrm = l2_norm(v)
+    cells = []
+    for u in _grid_dirs(g, dim):
+        c = F.array(*[F.lit(x) for x in u])
+        proj = F.aggregate(
+            F.zip_with(v, c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / nrm
+        cells.append(F.floor(proj / F.lit(eps)).cast("long"))
+    return F.array(*cells)
+
+
+def threshold_pairs_within_buckets(
+    g: DataFrame,
+    bucket_col: str,
+    vec_col: str,
+    rep_col: str,
+    threshold: float,
+    keep_cols: tuple[str, ...] = (),
+    oversize: int = 4096,
+    dim: int = 64,
+    grid_dims: int = 2,
+) -> DataFrame:
+    """All (ra < rb) pairs within a bucket whose round(cosine, 6) ≥
+    ``threshold`` — EXACT output (same filter expression either way),
+    with a cost-based plan split: buckets with ≤ ``oversize`` distinct
+    vectors take the direct all-pairs join; oversized buckets route
+    through the ε-grid candidate join (``_grid_cell``), cutting the
+    candidate count from O(n²) to Σ_cell O(n_cell·n_adjacent) — the same
+    skew discipline as operators/dedup.exact_collapse. The bucket-count
+    probe is one small aggregation collected driver-side (bucket domains
+    are bounded: labels, clusters, shard keys).
+
+    Output: (ra, rb, cos_sim, {keep}_a, {keep}_b)."""
+    keep = list(keep_cols)
+
+    def side(base: DataFrame, tag: str, cell: bool = False) -> DataFrame:
+        cols = [
+            F.col(bucket_col),
+            F.col(rep_col).alias(f"r{tag}"),
+            F.col(vec_col).alias(f"v{tag}"),
+            *(
+                [_grid_cells(vec_col, threshold, dim, grid_dims).alias(f"cell_{tag}")]
+                if cell
+                else []
+            ),
+            *[F.col(k).alias(f"{k}_{tag}") for k in keep],
+        ]
+        return base.select(*cols)
+
+    sim = F.round(cosine("va", "vb"), 6)
+    out_cols = [
+        "ra", "rb", sim.alias("cos_sim"),
+        *[f"{k}_a" for k in keep], *[f"{k}_b" for k in keep],
+    ]
+
+    def all_pairs(base: DataFrame) -> DataFrame:
+        return (
+            side(base, "a")
+            .join(side(base, "b"), bucket_col)
+            .where(F.col("ra") < F.col("rb"))
+            .where(sim >= threshold)
+            .select(*out_cols)
+        )
+
+    counts = g.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("n"))
+    big = [r[bucket_col] for r in counts.where(F.col("n") > oversize).collect()]
+    if not big:
+        return all_pairs(g)
+
+    import itertools
+
+    big_g = g.where(F.col(bucket_col).isin(big))
+    combos = [
+        F.array(*[F.element_at(F.col("cell_a"), i + 1) + F.lit(d) for i, d in enumerate(offs)])
+        for offs in itertools.product((-1, 0, 1), repeat=grid_dims)
+    ]
+    probes = side(big_g, "a", cell=True).select(
+        "*", F.explode(F.array(*combos)).alias("__probe")
+    )
+    b = side(big_g, "b", cell=True)
+    grid = (
+        probes.join(
+            b,
+            (probes[bucket_col] == b[bucket_col])
+            & (probes["__probe"] == b["cell_b"]),
+        )
+        .where(F.col("ra") < F.col("rb"))
+        .where(sim >= threshold)
+        .select(*out_cols)
+    )
+    return all_pairs(g.where(~F.col(bucket_col).isin(big))).unionByName(grid)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -182,14 +182,55 @@ def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q38 — LSH-bucketed approximate nearest neighbors (the scale path; Q28 is
-# the exact baseline). No oracle: bucket membership hinges on sign bits of
-# floating dot products whose summation order differs across engines; the
-# pytest suite checks determinism and bucket-restricted exactness instead.
+# the exact baseline). Hash-checked since round 4: bucket membership IS
+# cross-engine-exact when the arithmetic order is pinned — the hyperplane
+# coefficients are half-integers (md5 nibble − 7.5), so every product
+# against a float32 element is exact in double, and the oracle unrolls each
+# plane's dot product as a left-associated sum matching Spark's
+# aggregate-fold order term for term (bit-identical sums ⇒ identical sign
+# bits ⇒ identical buckets). Scoring then reuses q28's proven
+# list_dot_product/ROUND(…,6) pattern on the bucket-restricted pairs.
 # ---------------------------------------------------------------------------
+def _q38_oracle() -> str:
+    from feature_store_test_spark.operators.similarity import _hyperplane_coefs
+
+    def plane_sum(plane: list[float]) -> str:
+        # left-assoc, 0.0 seed — mirrors F.aggregate(zip_with(...)) exactly
+        return "0.0 + " + " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * ({c})"
+            for j, c in enumerate(plane)
+        )
+
+    bucket = " || ".join(
+        f"CASE WHEN ({plane_sum(p)}) >= 0 THEN '1' ELSE '0' END"
+        for p in _hyperplane_coefs(4, 64)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             ({bucket}) AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) *
+                    sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM b q JOIN b c
+        ON q.bucket = c.bucket AND q.vec_id < 20 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
 @register(
     "q38_lsh_ann_topk",
-    oracle=None,
-    doc="ANN top-5 via random-hyperplane LSH buckets — rows-only check",
+    oracle=_q38_oracle(),
+    doc="ANN top-5 via random-hyperplane LSH buckets (bucket-restricted exact, hash-checked)",
     tags=("similarity", "lsh", "approx"),
 )
 def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,6 +998,46 @@ def q90_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     qs = F.percentile_approx(
         "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10_000
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            qs.getItem(0).alias("p50"),
+            qs.getItem(1).alias("p90"),
+            qs.getItem(2).alias("p99"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q90b — EXACT percentiles, q90's hash-checked twin: Spark's `percentile`
+# and DuckDB's `quantile_cont` share the lower+(upper-lower)*frac linear
+# interpolation at pos = p*(n-1), and the arithmetic is bit-identical on
+# doubles (verified at sf0.001/0.01/0.1). This keeps the approx query
+# honest: q90's GK sketch is the 100 TB path, q90b pins the target values
+# the sketch's error bound is tested against. Exact percentile must
+# materialize each group's values (sort within group) — fine at any SF
+# where a single group's rows fit an executor, the documented boundary.
+# ---------------------------------------------------------------------------
+@register(
+    "q90b_exact_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="exact linear-interpolated percentiles per segment (q90's hash-checked twin)",
+    tags=("agg", "quantile"),
+)
+def q90b_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    qs = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
     )
     return (
         li.groupBy("l_returnflag")

@@ -368,28 +368,31 @@ def q104_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup", "graph", "pipeline"),
 )
 def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label pairwise is SemDeDup's declared shape, but a skewed
+    label bucket must not go blind-quadratic: rep pairs come from
+    ``threshold_pairs_within_buckets``, which all-pairs small labels and
+    routes labels above ``oversize`` distinct vectors through the
+    complete ε-grid candidate join (operators/similarity._grid_cell) —
+    exact output either way, so the recursive-CTE oracle still
+    hash-matches. Honest boundary: grid pruning power scales with the
+    threshold (ε = √(2−2t)); at this fixture's loose t = 0.25 a dense
+    label stays near-quadratic — but then so does the qualifying-pair
+    OUTPUT, i.e. the work is output-bound, not plan waste. SemDeDup-scale
+    thresholds (t ≥ 0.9) prune hard."""
     from feature_store_test_spark.operators.dedup import ordered_pair_structs
     from feature_store_test_spark.operators.graph import connected_components
+    from feature_store_test_spark.operators.similarity import (
+        threshold_pairs_within_buckets,
+    )
 
     emb = load_table(spark, "embeddings", sf_dir)
     g = emb.groupBy("label", "embedding").agg(
         F.min("vec_id").alias("__rep"),
         F.array_sort(F.collect_set("vec_id")).alias("__ids"),
     ).cache()
-    a = g.select(
-        "label", F.col("__rep").alias("ra"), F.col("embedding").alias("va"),
-        F.col("__ids").alias("__ids_a"),
-    )
-    b = g.select(
-        "label", F.col("__rep").alias("rb"), F.col("embedding").alias("vb"),
-        F.col("__ids").alias("__ids_b"),
-    )
-    rep_pairs = (
-        a.join(b, "label")
-        .where(F.col("ra") < F.col("rb"))
-        .where(F.round(cosine("va", "vb"), 6) >= 0.25)
-        .select("__ids_a", "__ids_b")
-    )
+    rep_pairs = threshold_pairs_within_buckets(
+        g, "label", "embedding", "__rep", 0.25, keep_cols=("__ids",)
+    ).select("__ids_a", "__ids_b")
     cross = (
         rep_pairs.select(F.explode("__ids_a").alias("__x"), "__ids_b")
         .select("__x", F.explode("__ids_b").alias("__y"))

@@ -134,6 +134,24 @@ def test_video_features_and_real_frame_fanout(spark):
         assert r["frame_fp"] == hashlib.md5(g.tobytes()).hexdigest()
         assert r["frame_bytes"] == g.size
 
+    # AVI-MJPEG takes the real path too (decode_media's docstring
+    # contract): fingerprints match the per-frame JPEG walk that
+    # avi_mjpeg_frames/decode_video run over the same payload
+    from feature_store_test_spark.operators.codecs import avi_mjpeg_frames
+
+    avi_rows = decode_media(
+        df.where(F.col("doc_id") == 2), fake=False
+    ).orderBy("frame_idx").collect()
+    want = [
+        (i, hashlib.md5(fr.tobytes()).hexdigest(), fr.size)
+        for i, fr in enumerate(avi_mjpeg_frames(bytes(avi)))
+    ]
+    assert [(r["frame_idx"], r["frame_fp"], r["frame_bytes"]) for r in avi_rows] == want
+    assert len(want) == 2
+    # container-independence: identical pixels => identical fingerprints
+    # (both paths emit uint8 RGB with the same rint/clip quantization)
+    assert all(len(fp) == 32 for _, fp, _ in want)
+
 
 def test_resize_media_real_images(spark):
     """Real resize: decode (any supported image format), nearest-neighbor

@@ -381,3 +381,57 @@ def test_ivf_sampled_fit_recall_and_determinism(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
     e = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, queries, k=5).collect()}
     assert len(a & e) / len(e) >= 0.4
+
+
+def test_threshold_pairs_grid_path_exact_and_subquadratic(spark):
+    """Skew-safe bucketed threshold pairs: forcing the oversized-bucket
+    ε-grid path (oversize below the bucket size) must return EXACTLY the
+    all-pairs result (the grid is complete for cos >= t by
+    Cauchy-Schwarz), while evaluating far fewer candidate pairs than
+    n²/2 at a SemDeDup-scale threshold."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from feature_store_test_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    # a realistic skewed label: one oversized bucket of 400 vectors in 20
+    # semantic clusters (tight near-dup families around separated
+    # centers) — the shape SemDeDup labels take in practice
+    n, dim, t, gd = 400, 8, 0.98, 3
+    centers = rng.normal(size=(20, dim))
+    base = np.stack(
+        [centers[i % 20] + rng.normal(scale=0.05, size=dim) for i in range(n)]
+    )
+    schema = T.StructType([
+        T.StructField("label", T.IntegerType()),
+        T.StructField("rep", T.LongType()),
+        T.StructField("vec", T.ArrayType(T.FloatType())),
+    ])
+    rows = [(0, i, [float(x) for x in base[i]]) for i in range(n)]
+    g = spark.createDataFrame(rows, schema)
+
+    grid = S.threshold_pairs_within_buckets(
+        g, "label", "vec", "rep", t, oversize=10, dim=dim, grid_dims=gd
+    )
+    direct = S.threshold_pairs_within_buckets(
+        g, "label", "vec", "rep", t, oversize=10_000, dim=dim
+    )
+    got = sorted((r["ra"], r["rb"], r["cos_sim"]) for r in grid.collect())
+    want = sorted((r["ra"], r["rb"], r["cos_sim"]) for r in direct.collect())
+    assert got == want and len(want) >= 100  # within-cluster families
+
+    # candidate count the grid join evaluates: pairs adjacent in EVERY
+    # grid coordinate — must be far below the all-pairs n(n-1)/2
+    cells = [
+        tuple(r["c"])
+        for r in g.select(S._grid_cells("vec", t, dim, gd).alias("c")).collect()
+    ]
+    cand = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        if all(abs(a - b) <= 1 for a, b in zip(cells[i], cells[j]))
+    )
+    assert cand < 0.25 * (n * (n - 1) / 2), (cand, n * (n - 1) / 2)
+    assert cand >= len(want)  # sanity: candidates cover the output
