@@ -65,7 +65,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from feature_store_test_spark.registry import all_queries
+    from feature_store_test_spark.registry import (
+        all_queries,
+        persistent_rdd_ids,
+        release_caches,
+        release_new_rdds,
+    )
     from feature_store_test_spark.session import get_spark
 
     # Local-bench scan parallelism: the sf0.1 files are ~1-10 MB, so the
@@ -129,6 +134,7 @@ def main() -> None:
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
     time.sleep(2.0)
+    baseline_rdds = persistent_rdd_ids(spark)
     def time_spark(data_dir: str, n_runs: int = 2) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in HEADLINE:
@@ -140,6 +146,8 @@ def main() -> None:
                 ).save()
                 runs.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
+                release_caches()
+                release_new_rdds(spark, baseline_rdds)
             out[name] = round(min(runs), 3)
         return out
 
@@ -158,6 +166,8 @@ def main() -> None:
             ).save()
             out[name] = len(tracker.getJobIdsForGroup(None) or []) - before
             spark.catalog.clearCache()
+            release_caches()
+            release_new_rdds(spark, baseline_rdds)
         return out
 
     # min-of-THREE at the base SF: sub-second queries on a shared 32-thread

@@ -77,4 +77,9 @@ def connected_components(
         if cur_sum == prev_sum:  # monotone ⇒ equal sum ⇔ fixpoint
             break
         prev_sum = cur_sum
+    # NOTE on lifetime: localCheckpoint persists at the RDD level, where
+    # DataFrame.unpersist() cannot reach (it only talks to the SQL cache
+    # manager) — the K round checkpoints live in block storage until the
+    # harness sweeps them (registry.release_new_rdds, called by the
+    # oracle comparator per query) or the JVM's weak-ref cleaner runs.
     return labels.select("node", F.col("label").alias("component"))

@@ -73,10 +73,25 @@ def compare_query(
 ) -> CompareResult:
     from feature_store_test_spark.registry import all_queries
 
+    from feature_store_test_spark.registry import (
+        persistent_rdd_ids,
+        release_caches,
+        release_new_rdds,
+    )
+
     spec = all_queries()[name]
-    sdf = spec.fn(spark, sf_dir)
-    s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
+    baseline = persistent_rdd_ids(spark)
+    try:
+        sdf = spec.fn(spark, sf_dir)
+        s_cols = list(sdf.columns)
+        s_rows = [tuple(r) for r in sdf.collect()]
+    finally:
+        # query-scoped caches (managed_cache) and RDD-level checkpoint
+        # blocks (localCheckpoint) free once the result is materialized —
+        # a full compare_all sweep must not accumulate persisted RDDs
+        # across 100+ queries
+        release_caches()
+        release_new_rdds(spark, baseline)
 
     if spec.oracle is None:
         return CompareResult(name, True, "rows-only (no oracle)", len(s_rows), -1)

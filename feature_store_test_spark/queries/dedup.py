@@ -22,7 +22,7 @@ from feature_store_test_spark.operators.dedup import (
     shingle_array,
     within_group_pairs,
 )
-from feature_store_test_spark.registry import register
+from feature_store_test_spark.registry import managed_cache, register
 
 
 # ---------------------------------------------------------------------------
@@ -218,9 +218,9 @@ def _simhash_fp_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint groups (f, ids = sorted member doc_ids), cached — the
     shared base of the exploded (q39) and grouped (q39b) pair contracts."""
     fp = q22_simhash(spark, sf_dir).select("doc_id", F.col("simhash16").alias("f"))
-    return fp.groupBy("f").agg(
+    return managed_cache(fp.groupBy("f").agg(
         F.array_sort(F.collect_set("doc_id")).alias("ids")
-    ).cache()
+    ))
 
 
 def _simhash_fp_pairs(fpg: DataFrame) -> DataFrame:

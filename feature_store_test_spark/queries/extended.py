@@ -781,13 +781,26 @@ def q53_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "skew", "agg"),
 )
 def q83_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-scoped salting (the production form): a sampling probe
+    estimates per-key row counts and only keys above ``hot_threshold``
+    take the salt-replicated path; the uniform remainder is a plain
+    equi-join. TPC-H orderkeys are uniform (≤ 7 lineitems each), so the
+    hot set is empty here and the plan collapses to the plain join —
+    which is exactly the point: round-3's full-salt form replicated the
+    WHOLE orders side ×8, a data-sized fan-out that measured 4.9× wall
+    growth for 10× data. The salt path engages only under real skew
+    (exercised with a synthetic hot key in tests/test_operators.py);
+    the result is salt- and path-independent either way, which is what
+    the oracle hash pins."""
     from feature_store_test_spark.operators.skew import salted_join
 
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
-    joined = salted_join(li, o, "l_orderkey", "o_orderkey", n_salt=8)
+    joined = salted_join(
+        li, o, "l_orderkey", "o_orderkey", n_salt=8, hot_threshold=64
+    )
     return (
         joined.groupBy("o_orderpriority")
         .agg(

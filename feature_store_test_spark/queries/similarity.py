@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table_spread as load_table
 from feature_store_test_spark.operators.similarity import cosine, cosine_topk, l2_norm
-from feature_store_test_spark.registry import register
+from feature_store_test_spark.registry import managed_cache, register
 
 
 # ---------------------------------------------------------------------------
@@ -119,10 +119,10 @@ def q30_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_test_spark.operators.dedup import ordered_pair_structs
 
     emb = load_table(spark, "embeddings", sf_dir).where(F.col("label") == 0)
-    g = emb.groupBy("embedding").agg(
+    g = managed_cache(emb.groupBy("embedding").agg(
         F.min("vec_id").alias("__rep"),
         F.array_sort(F.collect_set("vec_id")).alias("__ids"),
-    ).cache()
+    ))
     a = g.select(
         F.col("__rep").alias("ra"), F.col("embedding").alias("va"),
         F.col("__ids").alias("__ids_a"),
@@ -386,10 +386,10 @@ def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    g = emb.groupBy("label", "embedding").agg(
+    g = managed_cache(emb.groupBy("label", "embedding").agg(
         F.min("vec_id").alias("__rep"),
         F.array_sort(F.collect_set("vec_id")).alias("__ids"),
-    ).cache()
+    ))
     rep_pairs = threshold_pairs_within_buckets(
         g, "label", "embedding", "__rep", 0.25, keep_cols=("__ids",)
     ).select("__ids_a", "__ids_b")

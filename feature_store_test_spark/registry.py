@@ -58,3 +58,55 @@ def all_queries() -> dict[str, QuerySpec]:
     from feature_store_test_spark import queries as _q  # noqa: F401
 
     return dict(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Query-scoped cache tracking. A registered query cannot unpersist the
+# intermediates it caches — its result DataFrame still depends on them when
+# the function returns — so caches created inside query bodies go through
+# ``managed_cache`` and the HARNESS (oracle comparator, bench loop) calls
+# ``release_caches`` once the result is materialized. Without this, a
+# long-lived session running many queries (serving, 100x probes, the
+# driver's full sweep) accumulates cached RDDs that never free.
+# ---------------------------------------------------------------------------
+_live_caches: list[DataFrame] = []
+
+
+def managed_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` that the harness can release after consumption."""
+    df = df.cache()
+    _live_caches.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every managed cache (call after materializing a query)."""
+    while _live_caches:
+        try:
+            _live_caches.pop().unpersist()
+        except Exception:  # noqa: BLE001 — a dead session must not mask cleanup
+            pass
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of currently-persisted RDDs (includes localCheckpoint blocks,
+    which live at the RDD level where DataFrame.unpersist can't reach)."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
+def release_new_rdds(spark: SparkSession, baseline: set[int]) -> None:
+    """Unpersist RDDs persisted since ``baseline`` was snapshotted.
+
+    The scoped sweep for RDD-level persistence a query created but cannot
+    free itself — iterative operators' localCheckpoints (connected
+    components' per-round label frames). Baseline scoping means caches
+    that predate the query (a user's own, another query's in-flight
+    state) are untouched."""
+    try:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in m.keySet().toArray():
+            if int(k) not in baseline:
+                m.get(k).unpersist()
+    except Exception:  # noqa: BLE001 — cleanup must not mask the query result
+        pass

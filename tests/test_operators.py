@@ -164,6 +164,49 @@ def test_salted_join_matches_plain_join_with_hot_key(spark):
         assert g == w, how
 
 
+def test_hot_key_scoped_salting(spark):
+    """hot_threshold scopes the salt fan-out to actually-skewed keys:
+    the probe finds the planted hot key (and only it), the two-path join
+    matches the plain join exactly, and a uniform input collapses to the
+    plain join (empty hot set — no data-sized dim replication)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_test_spark.operators.skew import (
+        detect_hot_keys,
+        salted_join,
+    )
+
+    big = spark.range(20_000).select(
+        F.when(F.col("id") < 16_000, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(40).select(
+        F.col("id").alias("sk"), (F.col("id") * 10).alias("dim")
+    )
+    hot = detect_hot_keys(big, "k", hot_threshold=1_000, sample_frac=0.05)
+    assert hot == [7]
+
+    for how in ["inner", "left"]:
+        got = salted_join(
+            big, small, "k", "sk", n_salt=4, how=how, hot_threshold=1_000
+        )
+        want = big.join(small, F.col("k") == F.col("sk"), how)
+        assert sorted((r.payload, r.dim) for r in got.collect()) == sorted(
+            (r.payload, r.dim) for r in want.collect()
+        ), how
+
+    # skew-free input: hot probe comes back empty -> plain join plan
+    # (no Expand/explode node from salt replication)
+    uniform = spark.range(20_000).select(
+        (F.col("id") % 5_000).alias("k"), F.col("id").alias("payload")
+    )
+    assert detect_hot_keys(uniform, "k", hot_threshold=1_000, sample_frac=0.05) == []
+    plan = salted_join(
+        uniform, small, "k", "sk", n_salt=4, hot_threshold=1_000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "explode" not in plan.lower()
+
+
 def test_connected_components_chain_and_islands(spark):
     """A 4-node chain collapses to one component labeled by its min node;
     a separate pair stays its own component; convergence needs multiple

@@ -18,3 +18,17 @@ def test_query_matches_oracle(spark, sf_dir, name):
 def test_every_query_has_doc():
     for name, spec in all_queries().items():
         assert spec.doc, f"{name} has no doc line"
+
+
+def test_managed_caches_released_after_compare(spark):
+    """Queries that cache intermediates (managed_cache) must not leak
+    persisted RDDs once the comparator materializes them — a long-lived
+    session sweeping the registry stays flat."""
+    from feature_store_test_spark.oracle import compare_query, duckdb_connection
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    con = duckdb_connection("/root/testdata/sf0.001")
+    for q in ("q39b_simhash_groups", "q121_semantic_dedup", "q30_embedding_near_dups"):
+        assert compare_query(spark, q, "/root/testdata/sf0.001", con).ok
+    assert jsc.getPersistentRDDs().size() <= before
