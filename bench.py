@@ -85,20 +85,27 @@ def main() -> None:
         },
     )
 
-    # Partition counts sized to the DATA, the same discipline a 100 TB
-    # deployment applies in the opposite direction (brief: size
-    # shuffle.partitions/maxPartitionBytes to the target SF). At sf0.1 a
-    # post-shuffle stage holds ~KBs per partition, so 32 shuffle
-    # partitions mean 32 near-empty tasks per stage and the per-task
-    # floor dominates — 8 partitions measured ~20% faster over the
-    # headline set with identical results. The 10x replica gets the
-    # wider layout (32 partitions, 4 MB splits) that measured best there.
-    def _set_profile(sh: int, split_bytes: int) -> None:
+    # Partition counts AND runtime re-planning sized to the DATA, the same
+    # discipline a 100 TB deployment applies in the opposite direction
+    # (brief: size shuffle.partitions/maxPartitionBytes to the target SF).
+    # At sf0.1 a post-shuffle stage holds ~KBs per partition, so 32
+    # shuffle partitions mean 32 near-empty tasks per stage and the
+    # per-task floor (~4 ms here) dominates — 8 partitions and 32 MB
+    # splits measured best. AQE is OFF at the toy profile: adaptive
+    # execution submits one scheduler job per query STAGE (so its runtime
+    # stats can re-plan the next stage), and with ~60 ms per-job latency
+    # in this VM that tripled the job count (286 vs 134 over the headline
+    # set) for stats that are trivially tiny — measured ~1s over the set.
+    # The 10x replica keeps AQE ON with the wider layout (32 partitions,
+    # 4 MB splits): there runtime coalescing/skew handling is the point,
+    # which is exactly the 100 TB configuration story.
+    def _set_profile(sh: int, split_bytes: int, aqe: bool) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(sh))
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
 
-    BASE_PROFILE = (8, 16 * 1024 * 1024)
-    SCALE_PROFILE = (32, 4 * 1024 * 1024)
+    BASE_PROFILE = (8, 32 * 1024 * 1024, False)
+    SCALE_PROFILE = (32, 4 * 1024 * 1024, True)
     _set_profile(*BASE_PROFILE)
     specs = all_queries()
 

@@ -54,7 +54,11 @@ def dec_sum(col: str | F.Column, scale: int = 2, out: str | None = None) -> F.Co
         # the final exact division lands on decimal(38,6) after Spark's
         # precision-loss adjustment; >6 fractional digits would be rounded
         raise ValueError(f"dec_sum supports scale <= 6, got {scale}")
-    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        # a plain column NAME routes through the single-RPC expr form —
+        # same parsed Catalyst tree, ~25x fewer py4j round-trips
+        return dec_sum_sql(f"`{col}`", scale, out)
+    c = col
     w = c * F.lit(float(10**scale))
     # The repr-based round (BigDecimal per row) can only disagree with the
     # cheap scaled-double RINT when the scaled value sits within double
@@ -90,6 +94,36 @@ def dec_sum(col: str | F.Column, scale: int = 2, out: str | None = None) -> F.Co
     )
     expr = (total / F.lit(10**scale).cast("decimal(7,0)")).cast("double")
     return expr.alias(out) if out else expr
+
+
+def dec_sum_sql(x: str, scale: int = 2, out: str | None = None) -> F.Column:
+    """``dec_sum`` built from ONE SQL string (``F.expr``) instead of ~25
+    Column-API calls. Py4j charges a round-trip per Column call — a query
+    with seven money sums paid ~2,200 RPCs (~0.2s) of pure
+    plan-construction chatter; one ``expr`` parse is a single RPC and the
+    JVM parses the whole tree at once. The parsed Catalyst expression is
+    IDENTICAL to ``dec_sum``'s (pinned by ``test_functions``' bit-parity
+    test plus the oracle gate over every query that switched), so the
+    cross-engine exactness contract is untouched. ``x`` is a SQL
+    expression string; use this form in hot-path queries, ``dec_sum``
+    when the input is an already-built Column."""
+    if scale > 6:
+        raise ValueError(f"dec_sum_sql supports scale <= 6, got {scale}")
+    p = f"{float(10 ** scale)!r}D"
+    w = f"(({x}) * {p})"
+    near_half = f"abs({w} - FLOOR({w}) - 0.5D) < 1.0E-6D"
+    ticks = (
+        f"CAST(CASE WHEN {near_half} THEN rint(round(({x}), {scale}) * {p}) "
+        f"ELSE rint({w}) END AS BIGINT)"
+    )
+    hi = f"shiftright({ticks}, 22)"
+    lo = f"({ticks} - {hi} * CAST(4194304 AS BIGINT))"
+    total = (
+        f"(CAST(SUM({hi}) AS DECIMAL(38,0)) * CAST(4194304 AS DECIMAL(8,0)) "
+        f"+ CAST(SUM({lo}) AS DECIMAL(38,0)))"
+    )
+    c = F.expr(f"CAST(({total} / CAST({10 ** scale} AS DECIMAL(7,0))) AS DOUBLE)")
+    return c.alias(out) if out else c
 
 
 def dec_ticks(col: str | F.Column, scale: int) -> F.Column:

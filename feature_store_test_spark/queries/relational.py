@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
 from feature_store_test_spark.functions import dec_sum as _dec_sum
+from feature_store_test_spark.functions import dec_sum_sql as _dec_sum_sql
 from feature_store_test_spark.registry import register
 
 
@@ -58,9 +59,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _dec_sum("l_quantity", 2, "sum_qty"),
             _dec_sum("l_extendedprice", 2, "sum_base_price"),
-            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "sum_disc_price"),
-            _dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+            _dec_sum_sql("l_extendedprice * (1 - l_discount)", 4, "sum_disc_price"),
+            _dec_sum_sql(
+                "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
                 6,
                 "sum_charge",
             ),
@@ -214,7 +215,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"),
+            _dec_sum_sql("l_extendedprice * (1 - l_discount)", 4, "revenue"),
         )
     )
 

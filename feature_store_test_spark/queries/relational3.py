@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
 from feature_store_test_spark.functions import dec_sum as _dec_sum
+from feature_store_test_spark.functions import dec_sum_sql as _dec_sum_sql
 from feature_store_test_spark.functions import revenue as _revenue
 from feature_store_test_spark.registry import register
 
@@ -131,7 +132,7 @@ def q70_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(_dec_sum(_revenue(), 4, "revenue"))
+        .agg(_dec_sum_sql("l_extendedprice * (1 - l_discount)", 4, "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -351,7 +352,7 @@ def q74_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(_dec_sum(_revenue(), 4, "total_revenue"))
+        .agg(_dec_sum_sql("l_extendedprice * (1 - l_discount)", 4, "total_revenue"))
     )
     top = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (

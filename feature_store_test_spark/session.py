@@ -70,6 +70,13 @@ def get_spark(
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
             str(64 * 1024 * 1024),
         )
+        # PySpark 4's DataFrame debugging captures the Python call site
+        # for EVERY Column/function call — 3+ extra py4j round-trips per
+        # call (origin set + clear + a conf read). A query like q01
+        # builds ~150 Column expressions → ~2,200 RPCs, ~0.25s of pure
+        # plan-construction chatter; the whole headline set paid ~1.5s.
+        # Production sessions don't need per-expression error call-sites.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # --- python interop (pandas UDFs, toPandas) ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
