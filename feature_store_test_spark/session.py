@@ -56,16 +56,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Broadcast thresholds, split by how trustworthy the size is:
-        # static planning sees file-size ESTIMATES, and a column-pruned
-        # fact table can sneak under a large threshold — at 10x bench
-        # scale a 64m static threshold made Catalyst broadcast the 6M-row
-        # lineitem as a join BUILD side (3.5s q05; plan-fatal at cluster
-        # scale). 16m keeps every true dimension broadcast while facts
-        # never qualify. AQE's conversion measures ACTUAL shuffle bytes
+        # static planning sees file-size ESTIMATES, and a fact table can
+        # sneak under a generous threshold — a 64m static threshold
+        # broadcast the 6M-row lineitem at 10x bench scale (3.5s q05),
+        # and the round-3 16m threshold STILL broadcast the 600k-row
+        # lineitem at sf0.1 (10.3MB file): the fact became a q05 hash
+        # build side, plan-fatal at cluster scale. 1m admits only true
+        # dimension tables (region/nation/supplier/customer/part, all
+        # <= 0.3MB here and bounded-domain by nature); every fact starts
+        # at 2MB. Known dimensions are additionally F.broadcast-hinted at
+        # the query sites, so the static threshold is a guardrail, not
+        # the mechanism. AQE's conversion measures ACTUAL shuffle bytes
         # at runtime, so it gets the full 64m — mid-size aggregated
         # sides (TPC-H Q18's grouped orders) still upgrade to broadcast
         # when they really are small.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(1 * 1024 * 1024))
         .config(
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
             str(64 * 1024 * 1024),
