@@ -12,10 +12,12 @@ Modules:
     extended        pandas UDFs, event-time windows, cube, approx aggs, LSH ANN
     pipeline        training-data pipeline: hash splits, source mixing, packing, range join
     analytics       event analytics: gap-filled resample, new-vs-returning, cohort retention
+    curation        corpus governance: PII redaction, provenance stats, contamination matrix
 """
 
 from feature_store_test_spark.queries import (  # noqa: F401
     analytics,
+    curation,
     dedup,
     extended,
     feature_parity,

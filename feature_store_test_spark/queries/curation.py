@@ -1,0 +1,184 @@
+"""Corpus-curation / data-governance queries over ``documents``.
+
+The pre-training curation steps that sit between raw crawl and dedup:
+PII detection/redaction, provenance (URL/domain) accounting, and
+cross-source contamination audits. All JVM-side column expressions
+(regexp / hash / join) with exact DuckDB oracles — the regex subset used
+(literal classes, ``\\d``, bounded repetition) behaves identically under
+Java regex (Spark) and RE2 (DuckDB).
+
+The fixture corpus has no real PII or URLs, so q127/q128 synthesize
+deterministic payloads from ``doc_id`` (the q118 audio-codec pattern:
+closed-form content both engines construct identically) — the operators
+under test are the regex scan, the multi-pattern redaction pipeline, and
+the provenance aggregation, not the fixture's content.
+
+Scale notes: q127 is a pure scan (zero shuffles — regex runs inside
+whole-stage codegen); q128 is scan + one agg shuffle on the derived
+domain key; q129 shuffles only 16-byte fingerprints (never document
+bodies) and joins per-source DISTINCT fingerprints, so the pair blowup
+is bounded by shared-content volume, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_store_test_spark.data import load_table_spread as load_table
+from feature_store_test_spark.registry import register
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+\d-\d{3}-\d{4}"
+
+
+def _pii_text() -> F.Column:
+    """Deterministic PII-bearing text: the doc body plus one synthetic
+    email and one synthetic phone derived from doc_id."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+_PII_TEXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+# ---------------------------------------------------------------------------
+# Q127 — PII detection + redaction: count email/phone matches per doc and
+# emit the fingerprint of the fully-redacted text. The real-pipeline form
+# writes the redacted column; the fingerprint proves byte-identical
+# redaction output across engines without shipping the bodies through the
+# comparator.
+# ---------------------------------------------------------------------------
+@register(
+    "q127_pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all({_PII_TEXT_SQL}, '{_EMAIL_RE}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all({_PII_TEXT_SQL}, '{_PHONE_RE}')) AS INT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace({_PII_TEXT_SQL},
+                 '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_fp
+    FROM documents
+    """,
+    doc="PII scan + multi-pattern redaction with cross-engine-identical output fingerprint",
+    tags=("curation", "text", "regex"),
+)
+def q127_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    body = _pii_text()
+    redacted = F.regexp_replace(
+        F.regexp_replace(body, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(body, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(body, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q128 — provenance accounting: synthesize each doc's crawl URL (closed
+# form of doc_id/source), parse out the registered domain, aggregate
+# per-domain corpus statistics. The domain extraction is the operator
+# under test — one regexp_extract group identical in both engines.
+# ---------------------------------------------------------------------------
+_URL_SQL = (
+    "'https://' || source || CAST(doc_id % 7 AS VARCHAR) || '.example.' || "
+    "CASE WHEN lang = 'en' THEN 'com' ELSE 'org' END || "
+    "'/doc/' || CAST(doc_id AS VARCHAR)"
+)
+_DOMAIN_RE = r"https://([^/]+)/"
+
+
+@register(
+    "q128_url_domain_stats",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             regexp_extract({_URL_SQL}, '{_DOMAIN_RE}', 1) AS domain
+      FROM documents
+    )
+    SELECT domain,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM u GROUP BY domain
+    """,
+    doc="crawl-provenance accounting: URL synth -> domain parse -> per-domain stats",
+    tags=("curation", "text", "agg"),
+)
+def q128_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example."),
+        F.when(F.col("lang") == "en", F.lit("com")).otherwise(F.lit("org")),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        docs.select(
+            "doc_id", "n_chars", F.regexp_extract(url, _DOMAIN_RE, 1).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q129 — cross-source contamination audit: for every source pair, how many
+# DISTINCT 5-word head fingerprints they share (the train/test-leakage
+# matrix over provenance buckets — q102's decontamination generalized from
+# one benchmark to all-pairs-of-sources). Only 16-byte digests shuffle;
+# the equi-join on fingerprint is bounded by shared content, and the
+# per-source DISTINCT collapse keeps each side at most corpus-distinct
+# sized regardless of duplication factor.
+# ---------------------------------------------------------------------------
+@register(
+    "q129_cross_source_contamination",
+    oracle="""
+    WITH fp AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_fingerprints
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc="train/test-leakage matrix: shared head-fingerprints per source pair",
+    tags=("curation", "dedup", "join"),
+)
+def q129_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators import text as Tx
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select(
+        "source", Tx.prefix_fingerprint("text", 5).alias("fp")
+    ).distinct()
+    a = fp.select(F.col("source").alias("source_a"), "fp")
+    b = fp.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+    )

@@ -181,6 +181,37 @@ def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q37b — q37's EXACT hash-checked twin: same join/grouping, exact
+# COUNT(DISTINCT). Pins the values the HLL sketch's <5% error bound is
+# tested against (tests/test_similarity.py::test_approx_distinct_error_
+# bound computes the same exact counts ad hoc — this registers them as a
+# first-class oracle-checked query, the q90/q90b pattern). The double
+# shuffle exact distinct pays is the documented cost q37 exists to avoid
+# at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "q37b_exact_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="exact distinct customers per market segment (q37's hash-checked twin)",
+    tags=("agg", "distinct"),
+)
+def q37b_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q38 — LSH-bucketed approximate nearest neighbors (the scale path; Q28 is
 # the exact baseline). Hash-checked since round 4: bucket membership IS
 # cross-engine-exact when the arithmetic order is pinned — the hyperplane
@@ -791,7 +822,9 @@ def q83_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth for 10× data. The salt path engages only under real skew
     (exercised with a synthetic hot key in tests/test_operators.py);
     the result is salt- and path-independent either way, which is what
-    the oracle hash pins."""
+    the oracle hash pins. Threshold 1000 is a realistic salting bar (a
+    straggler needs orders of magnitude, not 10×) and keeps the
+    detection probe at a ~2% sampled scan."""
     from feature_store_test_spark.operators.skew import salted_join
 
     li = load_table(spark, "lineitem", sf_dir).select(
@@ -799,7 +832,7 @@ def q83_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
     joined = salted_join(
-        li, o, "l_orderkey", "o_orderkey", n_salt=8, hot_threshold=64
+        li, o, "l_orderkey", "o_orderkey", n_salt=8, hot_threshold=1000
     )
     return (
         joined.groupBy("o_orderpriority")
