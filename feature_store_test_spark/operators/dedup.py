@@ -106,22 +106,19 @@ def minhash_signatures_arrays(
     families); ``tests/test_operators.py`` pins pipeline agreement on
     the fixtures.
     """
+    # selectExpr throughout: each higher-order F.transform lambda costs
+    # several py4j round-trips to build JVM-side, and k signature columns
+    # built through the Column API were ~0.1s of pure RPC chatter per
+    # invocation; one selectExpr parses the same Catalyst tree in a
+    # single call. (SQL lambdas are unary `x -> ...` — the same
+    # (element, index) 2-arg trap documented for F.transform applies.)
     keep_names = keep_cols if keep_cols is not None else ([arr_col] if keep_arr else [])
-    keep = [F.col(c) for c in keep_names]
     if family == "xxhash64":
-
-        def _seeded(seed: int):
-            # factory so transform sees a UNARY lambda — a default-arg
-            # 2-arg lambda would be read as (element, index) and the
-            # seed would silently become the array position, collapsing
-            # every signature column to the same value
-            return lambda x: F.xxhash64(x, F.lit(seed))
-
-        return arr_df.select(
-            F.col(id_col),
-            *keep,
+        return arr_df.selectExpr(
+            f"`{id_col}`",
+            *[f"`{c}`" for c in keep_names],
             *[
-                F.array_min(F.transform(arr_col, _seeded(s))).alias(f"mh{s}")
+                f"array_min(transform(`{arr_col}`, x -> xxhash64(x, {s}))) AS mh{s}"
                 for s in range(k)
             ],
         )
@@ -130,22 +127,18 @@ def minhash_signatures_arrays(
     if k > 32:
         raise ValueError("array signature family supports k <= 32")
     step = 32 // k
-    harr = arr_df.select(
-        F.col(id_col),
-        *keep,
+    harr = arr_df.selectExpr(
+        f"`{id_col}`",
+        *[f"`{c}`" for c in keep_names],
         # chained transforms: md5 evaluated ONCE per element, then
         # self-concatenated (concat(md5(x), md5(x)) would hash twice)
-        F.transform(
-            F.transform(arr_col, lambda x: F.md5(x)), lambda h: F.concat(h, h)
-        ).alias("__h2a"),
+        f"transform(transform(`{arr_col}`, x -> md5(x)), h -> concat(h, h)) AS __h2a",
     )
-    return harr.select(
-        F.col(id_col),
-        *keep,
+    return harr.selectExpr(
+        f"`{id_col}`",
+        *[f"`{c}`" for c in keep_names],
         *[
-            F.array_min(
-                F.transform("__h2a", lambda h: h.substr(step * s + 1, 15))
-            ).alias(f"mh{s}")
+            f"array_min(transform(__h2a, h -> substring(h, {step * s + 1}, 15))) AS mh{s}"
             for s in range(k)
         ],
     )
@@ -270,18 +263,20 @@ def lsh_candidate_pairs(
     # that exact verification then filters.
     sig_is_long = isinstance(signatures.schema["mh0"].dataType, T.LongType)
 
-    def bucket_of(b: int) -> F.Column:
-        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+    def bucket_of(b: int) -> str:
+        cols = ", ".join(f"mh{b * r + j}" for j in range(r))
         if sig_is_long:
-            return F.xxhash64(*cols).cast("string")
-        return F.md5(F.concat(*cols))
-    band_entries = [
-        F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
-        for b in range(bands)
-    ]
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_entries)).alias("e")
-    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+            return f"CAST(xxhash64({cols}) AS STRING)"
+        return f"md5(concat({cols}))"
+
+    # one selectExpr parse instead of bands x (struct + bucket hash)
+    # Column-API calls — same tree, a fraction of the py4j round-trips
+    entries = ", ".join(
+        f"struct({b} AS band, {bucket_of(b)} AS bucket)" for b in range(bands)
+    )
+    banded = signatures.selectExpr(
+        f"`{id_col}`", f"explode(array({entries})) AS e"
+    ).selectExpr(f"`{id_col}`", "e.band AS band", "e.bucket AS bucket")
     ids = F.col("ids")
     buckets = (
         banded.groupBy("band", "bucket")

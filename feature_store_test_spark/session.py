@@ -70,7 +70,7 @@ def get_spark(
         # at runtime, so it gets the full 64m — mid-size aggregated
         # sides (TPC-H Q18's grouped orders) still upgrade to broadcast
         # when they really are small.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(1 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024))
         .config(
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
             str(64 * 1024 * 1024),
