@@ -30,6 +30,11 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.adaptive.enabled": "true",
+        # per-Column-call Python call-site capture costs 3+ py4j RPCs per
+        # expression; the flag is read lazily and cached, so setting it
+        # here (before the first Column builds) covers driver-built
+        # sessions too
+        "spark.python.sql.dataFrameDebugging.enabled": "false",
     }.items():
         try:
             spark.conf.set(k, v)
