@@ -291,6 +291,7 @@ def threshold_pairs_within_buckets(
     oversize: int = 4096,
     dim: int = 64,
     grid_dims: int = 2,
+    scorer: str = "fold",
 ) -> DataFrame:
     """All (ra < rb) pairs within a bucket whose round(cosine, 6) ≥
     ``threshold`` — EXACT output (same filter expression either way),
@@ -302,7 +303,18 @@ def threshold_pairs_within_buckets(
     probe is one small aggregation collected driver-side (bucket domains
     are bounded: labels, clusters, shard keys).
 
+    ``scorer``: "fold" scores pairs with the JVM ordered-fold dot
+    product; "arrow" runs each small bucket's all-pairs block through
+    one numpy GEMM inside applyInPandas (the cosine_topk_arrow shape —
+    measured ~2x on the within-label SemDeDup stage, and the gap widens
+    with bucket size). Same 6-dp rounded contract; GEMM accumulation
+    ulps are absorbed by the round exactly as in q123, and the oversized-
+    bucket grid path stays fold-based either way (its candidates are
+    sparse, not blocks).
+
     Output: (ra, rb, cos_sim, {keep}_a, {keep}_b)."""
+    if scorer not in ("fold", "arrow"):
+        raise ValueError(f"unknown scorer {scorer!r}")
     keep = list(keep_cols)
 
     def side(base: DataFrame, tag: str, cell: bool = False) -> DataFrame:
@@ -330,7 +342,7 @@ def threshold_pairs_within_buckets(
         *[f"{k}_a" for k in keep], *[f"{k}_b" for k in keep],
     ]
 
-    def all_pairs(base: DataFrame) -> DataFrame:
+    def all_pairs_fold(base: DataFrame) -> DataFrame:
         return (
             side(base, "a")
             .join(side(base, "b"), bucket_col)
@@ -338,6 +350,53 @@ def threshold_pairs_within_buckets(
             .where(sim >= threshold)
             .select(*out_cols)
         )
+
+    def all_pairs_arrow(base: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        rep_type = base.schema[rep_col].dataType
+        keep_types = {k: base.schema[k].dataType for k in keep}
+        out_schema = T.StructType(
+            [
+                T.StructField("ra", rep_type),
+                T.StructField("rb", rep_type),
+                T.StructField("cos_sim", T.DoubleType()),
+                *[T.StructField(f"{k}_a", keep_types[k]) for k in keep],
+                *[T.StructField(f"{k}_b", keep_types[k]) for k in keep],
+            ]
+        )
+
+        def block(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame({f.name: [] for f in out_schema.fields})
+            # order by rep so emitted (i < j) positions give ra < rb
+            pdf = pdf.sort_values(rep_col, kind="mergesort").reset_index(drop=True)
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0
+            S = np.round((X / nrm) @ (X / nrm).T, 6)
+            iu, ju = np.triu_indices(n, k=1)
+            keepm = S[iu, ju] >= threshold
+            iu, ju = iu[keepm], ju[keepm]
+            out = {
+                "ra": pdf[rep_col].to_numpy()[iu],
+                "rb": pdf[rep_col].to_numpy()[ju],
+                "cos_sim": S[iu, ju],
+            }
+            for k in keep:
+                out[f"{k}_a"] = pdf[k].to_numpy()[iu]
+                out[f"{k}_b"] = pdf[k].to_numpy()[ju]
+            return pd.DataFrame(out)
+
+        return base.select(bucket_col, rep_col, vec_col, *keep).groupBy(
+            bucket_col
+        ).applyInPandas(lambda _, pdf: block(pdf), out_schema)
+
+    all_pairs = all_pairs_arrow if scorer == "arrow" else all_pairs_fold
 
     # oversized-bucket probe: one small agg, memoized like ANN training —
     # a pure function of the input data, so bench loops / serving

@@ -394,7 +394,8 @@ def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("vec_id")).alias("__ids"),
     ))
     rep_pairs = threshold_pairs_within_buckets(
-        g, "label", "embedding", "__rep", 0.25, keep_cols=("__ids",)
+        g, "label", "embedding", "__rep", 0.25, keep_cols=("__ids",),
+        scorer="arrow",
     ).select("__ids_a", "__ids_b")
     cross = (
         rep_pairs.select(F.explode("__ids_a").alias("__x"), "__ids_b")

@@ -435,3 +435,53 @@ def test_threshold_pairs_grid_path_exact_and_subquadratic(spark):
     )
     assert cand < 0.25 * (n * (n - 1) / 2), (cand, n * (n - 1) / 2)
     assert cand >= len(want)  # sanity: candidates cover the output
+
+
+def test_threshold_pairs_arrow_scorer_matches_fold(spark):
+    """The GEMM (applyInPandas) all-pairs scorer must emit the same rows
+    and 6-dp values as the fold scorer — on clustered synthetic buckets
+    AND on the real embeddings fixture with payload columns riding
+    through."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.operators import similarity as S
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(10, 8))
+    rows = [
+        (int(i % 3), i, [float(x) for x in centers[i % 10] + rng.normal(scale=0.05, size=8)])
+        for i in range(240)
+    ]
+    schema = T.StructType([
+        T.StructField("label", T.IntegerType()),
+        T.StructField("rep", T.LongType()),
+        T.StructField("vec", T.ArrayType(T.FloatType())),
+    ])
+    g = spark.createDataFrame(rows, schema)
+    fold = S.threshold_pairs_within_buckets(g, "label", "vec", "rep", 0.9, dim=8)
+    arrow = S.threshold_pairs_within_buckets(
+        g, "label", "vec", "rep", 0.9, dim=8, scorer="arrow"
+    )
+    f = sorted(map(tuple, fold.collect()))
+    a = sorted(map(tuple, arrow.collect()))
+    assert f == a and len(f) > 50
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    ge = emb.groupBy("label", "embedding").agg(
+        F.min("vec_id").alias("__rep"),
+        F.array_sort(F.collect_set("vec_id")).alias("__ids"),
+    )
+    for sc in ("fold", "arrow"):
+        got = S.threshold_pairs_within_buckets(
+            ge, "label", "embedding", "__rep", 0.25, keep_cols=("__ids",), scorer=sc
+        )
+        rows_sc = sorted(
+            (r["ra"], r["rb"], r["cos_sim"], tuple(r["__ids_a"]), tuple(r["__ids_b"]))
+            for r in got.collect()
+        )
+        if sc == "fold":
+            want = rows_sc
+        else:
+            assert rows_sc == want and len(want) > 0
