@@ -12,9 +12,10 @@ The codec tier is split:
   AVI-MJPEG via the JPEG decoder), real frame fan-out for Y4M in
   ``decode_media``, and real pixel resize (decode → nearest-neighbor
   downscale → PNG re-encode) in ``resize_media``.
-- STUBBED tiers that genuinely need external artifacts: inter-frame
-  video codecs (H.264 etc. — ``decode_media`` raises
-  NotImplementedError for them) and learned embedding models
+- STUBBED tiers that genuinely need external artifacts: FOREIGN
+  inter-frame bitstreams (H.264 etc. — ``decode_media`` raises
+  NotImplementedError for them; our own IFDV container covers the
+  inter-frame decode shape losslessly) and learned embedding models
   (``extract_features`` fake encoder — a trained vision/audio encoder
   is a model, not a codec). The ``fake=True`` paths stay available
   everywhere as deterministic pure-byte functions so the plumbing is
@@ -159,11 +160,13 @@ def decode_media(
 ) -> DataFrame:
     """Frame-sample a media blob into FRAME_SCHEMA rows via mapInPandas.
 
-    ``fake=False`` (the REAL path): Y4M and AVI-MJPEG payloads decode to
-    actual video frames (operators/codecs.py) — one row per frame with
-    the md5 of the frame's raw RGB bytes; any other format raises
-    NotImplementedError (STUB — inter-frame codecs need external
-    libraries this container lacks). ``fake=True`` runs the
+    ``fake=False`` (the REAL path): Y4M, AVI-MJPEG and IFDV payloads
+    decode to actual video frames (operators/codecs.py — IFDV is the
+    inter-frame delta container, so P-frame reconstruction state rides
+    through the fan-out) — one row per frame with the md5 of the
+    frame's raw RGB bytes; external bitstream formats (H.264 etc.)
+    raise NotImplementedError (STUB — they need external libraries
+    this container lacks). ``fake=True`` runs the
     deterministic stub codec on ANY bytes: the blob is cut into
     ``frame_size``-byte windows, each emitting (frame_idx, md5(window),
     len(window)) — a pure function of the bytes, so the fan-out
@@ -187,6 +190,7 @@ def decode_media(
                     continue
                 from feature_store_test_spark.operators.codecs import (
                     avi_mjpeg_frames,
+                    ifdv_frames,
                     y4m_frames,
                 )
 
@@ -194,10 +198,13 @@ def decode_media(
                     frames = y4m_frames(data)
                 elif data[:4] == b"RIFF" and data[8:12] == b"AVI ":
                     frames = avi_mjpeg_frames(data)
+                elif data[:6] == b"IFDV1\n":
+                    frames = ifdv_frames(data)
                 else:
                     raise NotImplementedError(
-                        "real frame fan-out supports Y4M and AVI-MJPEG "
-                        "payloads; inter-frame codecs need external "
+                        "real frame fan-out supports Y4M, AVI-MJPEG and "
+                        "IFDV (inter-frame delta) payloads; external "
+                        "bitstream formats (H.264 etc.) need external "
                         "libraries — pass fake=True for the "
                         "deterministic stub"
                     )
@@ -347,11 +354,12 @@ VIDEO_FEATURE_SCHEMA = T.StructType(
 def video_features(
     df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
 ) -> DataFrame:
-    """REAL video decode (Y4M raw 4:4:4, or AVI-MJPEG via the baseline
-    JPEG decoder — operators/codecs.py) over Arrow batches: container,
-    dimensions, frame count/rate, per-channel means across frames.
-    Inter-frame codecs (H.264 etc.) are out of scope without external
-    libraries — those payloads surface a decode_error row."""
+    """REAL video decode (Y4M raw 4:4:4, AVI-MJPEG via the baseline JPEG
+    decoder, or IFDV inter-frame deltas — operators/codecs.py) over
+    Arrow batches: container, dimensions, frame count/rate, per-channel
+    means across frames. Foreign inter-frame bitstreams (H.264 etc.)
+    are out of scope without external libraries — those payloads
+    surface a decode_error row."""
     from feature_store_test_spark.operators.codecs import decode_video
 
     return df.select(id_col, blob_col).mapInPandas(

@@ -470,3 +470,96 @@ def q125_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q130 — REAL inter-frame video codec end to end: each doc synthesizes a
+# deterministic clip (constant-color frames, value a closed form of
+# doc_id/frame index), encodes it into the IFDV container (gop=3, so every
+# stream carries BOTH I-frames and P-frame deltas), and the Spark side
+# decodes through the actual inter-frame reconstruction loop (P-frame =
+# previous decoded frame + int16 delta — operators/codecs.py:ifdv_frames)
+# while the oracle computes the same features from the closed form. IFDV is
+# lossless by construction, so the hash check is exact. Foreign bitstreams
+# (H.264) remain the documented external-library boundary; this pins the
+# inter-frame DECODE SHAPE — carried reconstruction state, GOP boundaries —
+# with a real codec.
+# ---------------------------------------------------------------------------
+@register(
+    "q130_interframe_codec",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 3 + doc_id % 5 AS n, 5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    fr AS (
+      SELECT doc_id, n, w, h,
+             CAST((doc_id * 7 + f.f * 31) % 256 AS DOUBLE) AS v
+      FROM d, unnest(generate_series(0, n - 1)) AS f(f)
+    )
+    SELECT doc_id,
+           'ifdv' AS container,
+           CAST(MIN(w) AS INT) AS width,
+           CAST(MIN(h) AS INT) AS height,
+           CAST(MIN(n) AS INT) AS n_frames,
+           CAST(12.0 AS DOUBLE) AS fps,
+           ROUND(MIN(n) / 12.0, 6) AS duration_s,
+           ROUND(AVG(v), 6) AS mean_r,
+           ROUND(AVG(v), 6) AS mean_g,
+           ROUND(AVG(v), 6) AS mean_b
+    FROM fr GROUP BY doc_id
+    """,
+    doc="REAL inter-frame (I/P delta) video decode vs closed-form frame oracle",
+    tags=("multimodal", "codec", "video", "udf"),
+)
+def q130_interframe_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from feature_store_test_spark.operators.multimodal import video_features
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 200)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from feature_store_test_spark.operators.codecs import encode_ifdv
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n, w, h = 3 + did % 5, 5 + did % 4, 4 + did % 3
+                frames = np.stack(
+                    [
+                        np.full((h, w, 3), (did * 7 + f * 31) % 256, dtype=np.uint8)
+                        for f in range(n)
+                    ]
+                )
+                blobs.append(encode_ifdv(frames, fps=12, gop=3))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    clips = docs.select("doc_id").mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("blob", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = video_features(clips)
+    return feats.select(
+        "doc_id",
+        "container",
+        "width",
+        "height",
+        "n_frames",
+        "fps",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

@@ -456,3 +456,97 @@ def test_wav_truncated_fmt_is_controlled():
     )
     with pytest.raises(ValueError, match="truncated fmt"):
         decode_wav(data)
+
+
+def test_ifdv_interframe_roundtrip_and_compression():
+    """The IFDV inter-frame container round-trips ARBITRARY content
+    losslessly (P-frame = prev + int16 delta is exact), and on
+    temporally-correlated frames the P payloads compress well below an
+    all-I encoding — the point of temporal compression."""
+    from feature_store_test_spark.operators.codecs import (
+        decode_ifdv,
+        decode_video,
+        encode_ifdv,
+        ifdv_frames,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    frames = [base]
+    for _ in range(7):  # small temporal deltas
+        nxt = frames[-1].astype(np.int16) + rng.integers(-2, 3, size=base.shape)
+        frames.append(np.clip(nxt, 0, 255).astype(np.uint8))
+    clip = np.stack(frames)
+
+    data = encode_ifdv(clip, fps=10, gop=4)
+    got = list(ifdv_frames(data))
+    assert len(got) == 8
+    for a, b in zip(got, clip):
+        assert np.array_equal(a, b)  # lossless, including P-frames
+
+    feats = decode_ifdv(data)
+    assert feats["container"] == "ifdv" and feats["n_frames"] == 8
+    assert feats["width"] == 10 and feats["height"] == 12
+    assert feats["mean_r"] == pytest.approx(
+        float(np.mean([f[:, :, 0].mean() for f in clip])), abs=1e-9
+    )
+    assert decode_video(data)["container"] == "ifdv"
+
+    # temporal compression: all-I encoding (gop=1) must be much bigger
+    # than the I+P encoding on correlated frames
+    all_i = encode_ifdv(clip, fps=10, gop=1)
+    assert len(data) < 0.6 * len(all_i), (len(data), len(all_i))
+
+
+def test_ifdv_rejects_corruption():
+    import struct as _struct
+
+    from feature_store_test_spark.operators.codecs import (
+        decode_ifdv,
+        encode_ifdv,
+        ifdv_frames,
+    )
+
+    good = encode_ifdv(np.zeros((3, 4, 5, 3), np.uint8), gop=2)
+    with pytest.raises(ValueError, match="not an IFDV"):
+        decode_ifdv(b"IFDV2\n" + good[6:])
+    with pytest.raises(ValueError, match="malformed IFDV"):
+        decode_ifdv(good[:8])  # truncated header
+    bad = bytearray(good)
+    bad[30] ^= 0xFF  # corrupt inside the first zlib payload
+    with pytest.raises(ValueError, match="malformed IFDV"):
+        list(ifdv_frames(bytes(bad)))
+    # a P-frame with no preceding I-frame is a structural error
+    hdr = good[: 6 + 12]
+    pos = 6 + 12
+    (ft, plen) = _struct.unpack_from("<cI", good, pos)
+    first_frame = good[pos : pos + 5 + plen]
+    p_first = bytearray(hdr) + bytearray(first_frame)
+    p_first[len(hdr)] = ord("P")
+    with pytest.raises(ValueError, match="malformed IFDV|P-frame before"):
+        list(ifdv_frames(bytes(p_first)))
+
+
+def test_ifdv_frame_fanout_through_decode_media(spark):
+    """decode_media's real path fans IFDV clips out frame by frame with
+    fingerprints equal to the direct decode loop."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from feature_store_test_spark.operators.codecs import encode_ifdv, ifdv_frames
+    from feature_store_test_spark.operators.multimodal import decode_media
+
+    rng = np.random.default_rng(9)
+    clip = rng.integers(0, 256, size=(4, 6, 7, 3), dtype=np.uint8)
+    data = encode_ifdv(clip, fps=5, gop=2)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("blob", T.BinaryType())]
+    )
+    df = spark.createDataFrame([(1, bytearray(data))], schema)
+    rows = decode_media(df, fake=False).orderBy("frame_idx").collect()
+    want = [
+        (i, hashlib.md5(fr.tobytes()).hexdigest(), fr.size)
+        for i, fr in enumerate(ifdv_frames(data))
+    ]
+    assert [(r["frame_idx"], r["frame_fp"], r["frame_bytes"]) for r in rows] == want
