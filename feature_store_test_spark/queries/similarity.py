@@ -468,3 +468,81 @@ def q123_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         k=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q131 — feature-hash embed + sparse cosine near-dup: a REAL text encoder
+# (the signed hashing trick over character trigrams — operators/text.py:
+# feature_hash_sparse) feeding a sparse similarity join: dot products sum
+# a.weight*b.weight over SHARED buckets, norms are per-doc squared sums —
+# all INTEGER aggregation, so every cosine is bit-identical across engines
+# with zero float-order discipline (the reason the encoder emits sparse
+# integer rows, not a dense float array). Probe set bounded at doc_id <
+# 300: the all-pairs-via-shared-buckets join is the demonstration shape;
+# at corpus scale the same hashed vectors route through the LSH/IVF ANN
+# operators instead of pairwise joins. Threshold 0.8 sits in the
+# discriminating tail (p99 ≈ 0.82 on the fixture; near-dup families score
+# ≥ 0.9).
+# ---------------------------------------------------------------------------
+@register(
+    "q131_feature_hash_near_dups",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    tri AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g
+      FROM d, unnest(generate_series(1, greatest(length(text) - 2, 0))) AS u(i)
+    ),
+    h AS (SELECT doc_id, md5(g) AS h FROM tri),
+    sp AS (
+      SELECT doc_id,
+             CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS INT)
+               AS bucket,
+             CAST(SUM(CASE WHEN strpos('0123456789abcdef', substr(h, 3, 1)) - 1 >= 8
+                           THEN 1 ELSE -1 END) AS BIGINT) AS weight
+      FROM h GROUP BY 1, 2
+    ),
+    spz AS (SELECT * FROM sp WHERE weight <> 0),
+    nrm AS (SELECT doc_id, CAST(SUM(weight * weight) AS BIGINT) AS sq
+            FROM spz GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(a.weight * b.weight) AS BIGINT) AS dot
+      FROM spz a JOIN spz b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(dot / (sqrt(na.sq) * sqrt(nb.sq)), 6) AS cos_sim
+    FROM dots
+    JOIN nrm na ON na.doc_id = id_a
+    JOIN nrm nb ON nb.doc_id = id_b
+    WHERE ROUND(dot / (sqrt(na.sq) * sqrt(nb.sq)), 6) >= 0.8
+    """,
+    doc="feature-hash (signed hashing trick) trigram embeddings -> sparse integer cosine near-dups",
+    tags=("similarity", "text", "embedding", "join"),
+)
+def q131_feature_hash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.text import feature_hash_sparse
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 300)
+    spz = feature_hash_sparse(docs, "doc_id", "text", n=3, dim=64)
+    nrm = spz.groupBy("doc_id").agg(
+        F.sum(F.col("weight") * F.col("weight")).cast("bigint").alias("sq")
+    )
+    a = spz.select(F.col("doc_id").alias("id_a"), "bucket", F.col("weight").alias("wa"))
+    b = spz.select(F.col("doc_id").alias("id_b"), "bucket", F.col("weight").alias("wb"))
+    dots = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("bigint").alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("sq").alias("sqa"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("sq").alias("sqb"))
+    cos = F.round(F.col("dot") / (F.sqrt("sqa") * F.sqrt("sqb")), 6)
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.8)
+    )
