@@ -83,6 +83,66 @@ def detect_hot_keys(
     return hot
 
 
+def grid_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salt_big: int = 8,
+    n_salt_small: int = 4,
+    how: str = "inner",
+) -> DataFrame:
+    """Two-sided (grid) salted equi join for COMPOSITE skew: a key that is
+    hot on the big side AND has many matching rows on the small side.
+
+    One-sided salting (``salted_join``) replicates the whole small side
+    n_salt× — fine when the small side is thin per key, but a key with m
+    small rows still sends all m to every salt bucket, and the per-task
+    pair count stays (n/n_salt)·m. The grid form blocks BOTH sides:
+
+      big row   → random __gb in [0, n_salt_big),  replicated over all __gs
+      small row → random __gs in [0, n_salt_small), replicated over all __gb
+      join on (key, __gb, __gs)
+
+    Every (big, small) pair meets in exactly one grid cell — the big copy
+    carrying the small row's __gs and the small copy carrying the big
+    row's __gb — so the result equals the plain join for any salt
+    assignment. Each of the n_salt_big × n_salt_small cells holds
+    ~(n/n_salt_big)·(m/n_salt_small) pairs: the classic blocked
+    many-to-many decomposition, turning one straggler into a grid of
+    bounded tasks. Cost: big side shuffled n_salt_small×, small side
+    n_salt_big× — size the grid so the cheaper replication rides the
+    bigger side (n_salt_small stays small).
+
+    ``how='left'`` is rebuilt exactly: the inner grid join carries every
+    matched pair, and unmatched big rows are recovered once (not once per
+    replica) via a left-anti probe — correct per-row left semantics at
+    the cost of one extra (cold, un-replicated) join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"grid_salted_join supports inner/left, got {how!r}")
+    b = big.withColumn(
+        "__gb", (F.rand(seed=42) * n_salt_big).cast("int")
+    ).withColumn("__gs", F.explode(F.sequence(F.lit(0), F.lit(n_salt_small - 1))))
+    s = small.withColumn(
+        "__gs2", (F.rand(seed=43) * n_salt_small).cast("int")
+    ).withColumn("__gb2", F.explode(F.sequence(F.lit(0), F.lit(n_salt_big - 1))))
+    cond = (
+        (F.col(big_key) == F.col(small_key))
+        & (F.col("__gb") == F.col("__gb2"))
+        & (F.col("__gs") == F.col("__gs2"))
+    )
+    inner = b.join(s, cond, "inner").drop("__gb", "__gs", "__gb2", "__gs2")
+    if how == "inner":
+        return inner
+    unmatched = big.join(
+        small, F.col(big_key) == F.col(small_key), "left_anti"
+    )
+    for f in small.schema.fields:
+        unmatched = unmatched.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return inner.unionByName(unmatched)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -91,6 +151,8 @@ def salted_join(
     n_salt: int = 16,
     how: str = "inner",
     hot_threshold: int | None = None,
+    small_hot_threshold: int | None = None,
+    n_salt_small: int = 4,
 ) -> DataFrame:
     """Skew-safe equi join: salt-replicate the small side, salt the big side.
 
@@ -119,6 +181,15 @@ def salted_join(
     skew is in a single key that AQE's quantile stats miss.
 
     ``how`` supports inner/left joins (semantics preserved per big row).
+
+    Composite skew: pass ``small_hot_threshold=k`` to also probe the
+    small side. A hot key whose small-side match count exceeds k takes
+    the two-sided ``grid_salted_join`` path (big replicated
+    ``n_salt_small``×, small replicated ``n_salt``×) instead of the
+    one-sided form — one-sided salting cannot shrink a per-task pair
+    count that is dominated by the small side's multiplicity. The probe
+    is exact and bounded: it counts small-side rows only for the ≤
+    ``max_hot`` already-detected hot keys.
     """
 
     def full_salt(b: DataFrame, s: DataFrame) -> DataFrame:
@@ -137,15 +208,44 @@ def salted_join(
     plain_cond = F.col(big_key) == F.col(small_key)
     if not hot:
         return big.join(small, plain_cond, how)
+    composite: list = []
+    if small_hot_threshold is not None:
+        # exact, bounded probe: per-key small-side counts for ≤ max_hot keys
+        small_counts = {
+            r[0]: r[1]
+            for r in small.where(F.col(small_key).isin(hot))
+            .groupBy(small_key)
+            .count()
+            .collect()
+        }
+        composite = [k for k in hot if small_counts.get(k, 0) > small_hot_threshold]
+        hot = [k for k in hot if k not in set(composite)]
     # null keys never match the hot list but must keep left-join semantics
+    salted_keys = hot + composite
     cold = big.where(
-        F.col(big_key).isNull() | ~F.col(big_key).isin(hot)
+        F.col(big_key).isNull() | ~F.col(big_key).isin(salted_keys)
     ).join(small, plain_cond, how)
-    hot_part = full_salt(
-        big.where(F.col(big_key).isin(hot)),
-        small.where(F.col(small_key).isin(hot)),
-    )
-    return cold.unionByName(hot_part)
+    out = cold
+    if hot:
+        out = out.unionByName(
+            full_salt(
+                big.where(F.col(big_key).isin(hot)),
+                small.where(F.col(small_key).isin(hot)),
+            )
+        )
+    if composite:
+        out = out.unionByName(
+            grid_salted_join(
+                big.where(F.col(big_key).isin(composite)),
+                small.where(F.col(small_key).isin(composite)),
+                big_key,
+                small_key,
+                n_salt_big=n_salt,
+                n_salt_small=n_salt_small,
+                how=how,
+            )
+        )
+    return out
 
 
 def salted_agg(

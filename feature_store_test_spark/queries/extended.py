@@ -1095,3 +1095,71 @@ def q90b_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q132 — composite-skew grid join (operators/skew.py::grid_salted_join via
+# the salted_join router): event_type is hot on BOTH sides of the join —
+# every type holds ~20% of the events fact AND 10 threshold rows — so
+# one-sided salting can't shrink the per-task pair count (every salt
+# bucket still meets all 10 small rows). The router's exact small-side
+# probe flags every type composite and blocks the join into an
+# n_salt × n_salt_small grid of bounded tasks. The result is
+# salt-independent, so the oracle is the plain many-to-many join.
+# ---------------------------------------------------------------------------
+@register(
+    "q132_grid_skew_join",
+    oracle="""
+    WITH thr AS (
+        SELECT t.event_type AS t_event_type,
+               CAST(r.range AS INTEGER) AS k,
+               CAST(r.range AS DOUBLE) * 10.0 AS thr
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN range(10) r
+    )
+    SELECT e.event_type, t.k, COUNT(*) AS n_ge
+    FROM events e JOIN thr t ON e.event_type = t.t_event_type
+    WHERE e.value >= t.thr
+    GROUP BY e.event_type, t.k
+    ORDER BY e.event_type, t.k
+    """,
+    doc="cumulative threshold histogram via a composite-skew grid-salted m2m join",
+    tags=("join", "skew", "agg"),
+)
+def q132_grid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative value histogram: each event joins ALL 10 of its type's
+    threshold rows (a genuine many-to-many on the 5-value ultra-skewed
+    ``event_type`` key), then counts events at or above each threshold.
+    ``salted_join(hot_threshold=100, small_hot_threshold=4)`` detects
+    every type as hot via the sampling probe, finds 10 > 4 small rows
+    per key via the exact bounded probe, and routes ALL of them through
+    ``grid_salted_join`` — big side blocked 3×, threshold side 8× — so
+    each grid cell carries ~(n_type/8)·(10/3) pairs instead of one task
+    holding n_type·10. Counts only (no float arithmetic in the output),
+    so the hash check is exact cross-engine."""
+    from feature_store_test_spark.operators.skew import salted_join
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    thr = (
+        ev.select("event_type")
+        .distinct()
+        .withColumnRenamed("event_type", "t_event_type")
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .withColumn("thr", F.col("k").cast("double") * F.lit(10.0))
+    )
+    joined = salted_join(
+        ev,
+        thr,
+        "event_type",
+        "t_event_type",
+        n_salt=8,
+        hot_threshold=100,
+        small_hot_threshold=4,
+        n_salt_small=3,
+    )
+    return (
+        joined.where(F.col("value") >= F.col("thr"))
+        .groupBy("event_type", "k")
+        .agg(F.count(F.lit(1)).alias("n_ge"))
+        .orderBy("event_type", "k")
+    )

@@ -207,6 +207,78 @@ def test_hot_key_scoped_salting(spark):
     assert "explode" not in plan.lower()
 
 
+def test_grid_salted_join_many_to_many(spark):
+    """Composite skew: the hot key is heavy on BOTH sides (8k big rows ×
+    12 small rows). The two-sided grid join must reproduce the plain
+    many-to-many join exactly — every pair matched exactly once across
+    the salt grid — for inner and left, including left-miss keys."""
+    from pyspark.sql import functions as F
+
+    from feature_store_test_spark.operators.skew import grid_salted_join
+
+    big = spark.range(10_000).select(
+        F.when(F.col("id") < 8_000, F.lit(7)).otherwise(F.col("id") % 60).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    # key 7 has 12 small rows; keys 0..39 have one; 40..59 miss entirely
+    small = spark.range(40).select(
+        F.col("id").alias("sk"), (F.col("id") * 10).alias("dim")
+    ).unionByName(
+        spark.range(11).select(
+            F.lit(7).cast("long").alias("sk"), (F.col("id") + 1000).alias("dim")
+        )
+    )
+    for how in ["inner", "left"]:
+        got = grid_salted_join(
+            big, small, "k", "sk", n_salt_big=4, n_salt_small=3, how=how
+        )
+        want = big.join(small, F.col("k") == F.col("sk"), how)
+        assert sorted((r.payload, r.dim) for r in got.collect()) == sorted(
+            (r.payload, r.dim) for r in want.collect()
+        ), how
+
+
+def test_salted_join_routes_composite_keys_to_grid(spark):
+    """small_hot_threshold splits the hot set: key 7 (heavy both sides)
+    rides the grid path, key 9 (hot big side, single small row) rides
+    one-sided salting, cold keys take the plain join — and the three-way
+    union still equals the plain join exactly."""
+    from pyspark.sql import functions as F
+
+    from feature_store_test_spark.operators.skew import salted_join
+
+    big = spark.range(24_000).select(
+        F.when(F.col("id") < 10_000, F.lit(7))
+        .when(F.col("id") < 20_000, F.lit(9))
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(40).select(
+        F.col("id").alias("sk"), (F.col("id") * 10).alias("dim")
+    ).unionByName(
+        spark.range(9).select(
+            F.lit(7).cast("long").alias("sk"), (F.col("id") + 1000).alias("dim")
+        )
+    )
+    for how in ["inner", "left"]:
+        got = salted_join(
+            big,
+            small,
+            "k",
+            "sk",
+            n_salt=4,
+            how=how,
+            hot_threshold=1_000,
+            small_hot_threshold=4,
+            n_salt_small=3,
+        )
+        want = big.join(small, F.col("k") == F.col("sk"), how)
+        assert sorted((r.payload, r.dim) for r in got.collect()) == sorted(
+            (r.payload, r.dim) for r in want.collect()
+        ), how
+
+
 def test_connected_components_chain_and_islands(spark):
     """A 4-node chain collapses to one component labeled by its min node;
     a separate pair stays its own component; convergence needs multiple

@@ -129,3 +129,34 @@ def test_exact_collapse_correct_without_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoop" not in plan
         got = {tuple(r) for r in collapsed.collect()}
     assert got == direct
+
+
+def test_grid_salted_join_survives_broadcast_off(spark):
+    """The grid join's 100 TB shape is a shuffle join on (key, __gb, __gs)
+    — the small side is only *mid-size* in the composite-skew scenario,
+    so the plan must be correct when nothing can broadcast. Pin: result
+    equals the plain join with both broadcast tiers disabled, and the
+    executed plan contains no BroadcastExchange."""
+    from feature_store_test_spark.operators.skew import grid_salted_join
+
+    with _confs(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        big = spark.range(50_000).select(
+            F.when(F.col("id") < 40_000, F.lit(3)).otherwise(F.col("id") % 20).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(20).select(
+            (F.col("id") % 10).alias("sk"), (F.col("id") * 7).alias("dim")
+        )
+        got = grid_salted_join(big, small, "k", "sk", n_salt_big=4, n_salt_small=2)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        want = big.join(small, F.col("k") == F.col("sk"), "inner")
+        assert sorted((r.payload, r.dim) for r in got.collect()) == sorted(
+            (r.payload, r.dim) for r in want.collect()
+        )
