@@ -13,6 +13,7 @@ Modules:
     pipeline        training-data pipeline: hash splits, source mixing, packing, range join
     analytics       event analytics: gap-filled resample, new-vs-returning, cohort retention
     curation        corpus governance: PII redaction, provenance stats, contamination matrix
+    retrieval       bigram-LM quality scoring, BM25 keyword search
 """
 
 from feature_store_test_spark.queries import (  # noqa: F401
@@ -26,6 +27,7 @@ from feature_store_test_spark.queries import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    retrieval,
     similarity,
     text,
 )

@@ -1163,3 +1163,69 @@ def q132_grid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ge"))
         .orderBy("event_type", "k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q135 — Bloom-filter semi-join reduction (operators/bloomjoin.py): the
+# high-value-orders lineitem rollup, with the orders key set compressed
+# into a 256 Kbit Bloom bitmap applied map-side BEFORE lineitem's semi
+# join shuffle. Facts never broadcast in this engine, so the exact semi
+# join must shuffle both sides — the Bloom pass cuts the fact-side
+# shuffle volume to (selectivity + false-positive rate) while the exact
+# rerank keeps the result provably identical to the plain semi join,
+# which is therefore the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "q135_bloom_semi_join",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem l
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 450000
+    )
+    GROUP BY l.l_returnflag
+    """,
+    doc="Bloom-prefiltered semi join: map-side bitmap probe ahead of the exact shuffle",
+    tags=("join", "bloom", "agg"),
+)
+def q135_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitmap builds as a ≤4096-row bit_or aggregation (never a
+    driver-side bitmap) and probes as three broadcast hash joins inside
+    whole-stage codegen; at 100 TB you'd size m_bits off an
+    approx_count_distinct of the filtered dim side instead of the fixed
+    2^18 used here for plan determinism."""
+    from feature_store_test_spark.operators.bloomjoin import bloom_semi_join, bloom_words
+    from feature_store_test_spark.registry import managed_cache
+
+    lineitem = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    hot_orders = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_totalprice") > 450000)
+        .select("o_orderkey")
+    )
+    # one bitmap build reused by all three probe joins (the harness
+    # releases the cache after the result materializes)
+    words = managed_cache(bloom_words(hot_orders, "o_orderkey", 1 << 18, 3))
+    matched = bloom_semi_join(
+        lineitem,
+        hot_orders,
+        "l_orderkey",
+        "o_orderkey",
+        m_bits=1 << 18,
+        n_hashes=3,
+        words=words,
+    )
+    return matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
