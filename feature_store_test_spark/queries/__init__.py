@@ -14,6 +14,8 @@ Modules:
     analytics       event analytics: gap-filled resample, new-vs-returning, cohort retention
     curation        corpus governance: PII redaction, provenance stats, contamination matrix
     retrieval       bigram-LM quality scoring, BM25 keyword search
+    graphrank       PageRank over the aggregated nation trade graph
+    sketches        count-min heavy hitters with exact rerank
 """
 
 from feature_store_test_spark.queries import (  # noqa: F401
@@ -22,6 +24,7 @@ from feature_store_test_spark.queries import (  # noqa: F401
     dedup,
     extended,
     feature_parity,
+    graphrank,
     multimodal,
     pipeline,
     relational,
@@ -29,5 +32,6 @@ from feature_store_test_spark.queries import (  # noqa: F401
     relational3,
     retrieval,
     similarity,
+    sketches,
     text,
 )

@@ -654,3 +654,61 @@ def q114_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
             F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q137 — SCD2 (slowly-changing-dimension type 2) interval materialization:
+# compress each user's event stream into validity intervals of their
+# event_type "state" — a row per change point with [valid_from, valid_to)
+# and an is_current flag. The classic warehouse history-table build, as
+# two window passes over the same (user_id; ts, event_id) partition
+# order: detect change points with LAG, close intervals with LEAD. Both
+# windows share one shuffle (same partitioning + ordering), so the whole
+# query is scan -> one exchange -> two in-partition window evaluations.
+# The (ts, event_id) composite order makes equal-timestamp events
+# deterministic in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q137_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_id, ts, event_type
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM changes
+    """,
+    doc="SCD2 history build: change-point detection + validity intervals via LAG/LEAD",
+    tags=("window", "scd", "events"),
+)
+def q137_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
