@@ -116,15 +116,19 @@ def q136_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "nation", (F.lit(1.0) / F.col("n")).alias("rank")
     )
+    # every frame in the iteration is vocabulary-bounded (≤|V| ranks,
+    # ≤|E| transitions) — broadcast everything so each round is map-side
+    # plus one tiny aggregation, regardless of how big the FACT data
+    # that produced the graph was
     for _ in range(_N_ITER):
         inbound = (
-            r.join(p, F.col("src") == F.col("nation"))
+            r.join(F.broadcast(p), F.col("src") == F.col("nation"))
             .groupBy(F.col("dst").alias("in_nation"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("s"))
         )
         r = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(inbound, F.col("in_nation") == F.col("nation"), "left")
+            .join(F.broadcast(inbound), F.col("in_nation") == F.col("nation"), "left")
             .select(
                 "nation",
                 (
