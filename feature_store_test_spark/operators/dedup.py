@@ -61,15 +61,19 @@ def shingle_array(
     would bucket together. The word-count prefilter runs BEFORE the
     shingle projection (see module docstring on the pushdown trap).
     """
-    w = F.col("__w")
-    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w")).where(
-        F.size(w) >= n
+    # single-parse SQL form: the Column-API lambda (n element_at calls per
+    # window) cost ~40ms of py4j chatter per invocation; array_join over a
+    # slice is the same string for every in-range offset (the sequence
+    # never exceeds size-n, so each slice is full-width)
+    return (
+        df.selectExpr(f"`{id_col}`", f"split(`{text_col}`, ' ') AS __w")
+        .where(f"size(__w) >= {n}")
+        .selectExpr(
+            f"`{id_col}`",
+            f"array_distinct(transform(sequence(0, size(__w) - {n}), "
+            f"i -> array_join(slice(__w, i + 1, {n}), ' '))) AS `{out}`",
+        )
     )
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
-    )
-    return base.select(F.col(id_col), F.array_distinct(shingles).alias(out))
 
 
 def minhash_signatures_arrays(
@@ -157,18 +161,21 @@ def jaccard_verify_arrays(
     both joins broadcast at any realistic candidate count — and computes
     |A∩B| per pair inside the row. No shingle-level shuffle at all.
     """
-    aa = arr_df.select(F.col(id_col).alias("id_a"), F.col(arr_col).alias("__arr_a"))
-    bb = arr_df.select(F.col(id_col).alias("id_b"), F.col(arr_col).alias("__arr_b"))
-    inter = F.size(F.array_intersect("__arr_a", "__arr_b"))
-    # filter on the UNrounded ratio (the oracle's WHERE does too)
-    ratio = inter.cast("double") / (
-        F.size("__arr_a") + F.size("__arr_b") - inter
-    ).cast("double")
+    aa = arr_df.selectExpr(f"`{id_col}` AS id_a", f"`{arr_col}` AS __arr_a")
+    bb = arr_df.selectExpr(f"`{id_col}` AS id_b", f"`{arr_col}` AS __arr_b")
+    # filter on the UNrounded ratio (the oracle's WHERE does too); the
+    # aliased projection keeps the intersect evaluated once per pair
+    ratio = (
+        "CAST(size(array_intersect(__arr_a, __arr_b)) AS DOUBLE) / "
+        "CAST(size(__arr_a) + size(__arr_b) "
+        "- size(array_intersect(__arr_a, __arr_b)) AS DOUBLE)"
+    )
     return (
         pairs.join(aa, "id_a")
         .join(bb, "id_b")
-        .where(ratio >= threshold)
-        .select("id_a", "id_b", F.round(ratio, 6).alias("jaccard"))
+        .selectExpr("id_a", "id_b", f"{ratio} AS __ratio")
+        .where(f"__ratio >= {threshold!r}")
+        .selectExpr("id_a", "id_b", "round(__ratio, 6) AS jaccard")
     )
 
 
@@ -277,17 +284,16 @@ def lsh_candidate_pairs(
     banded = signatures.selectExpr(
         f"`{id_col}`", f"explode(array({entries})) AS e"
     ).selectExpr(f"`{id_col}`", "e.band AS band", "e.bucket AS bucket")
-    ids = F.col("ids")
+    # the pair expansion is one inline() over the SQL twin of
+    # ordered_pair_structs — same tree, a handful of RPCs instead of the
+    # nested-lambda Column build, and inline() lands directly on
+    # (id_a, id_b) columns without the intermediate struct projection
     buckets = (
         banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-        .where(F.size(ids) > 1)
+        .agg(F.expr(f"array_sort(collect_set(`{id_col}`)) AS ids"))
+        .where("size(ids) > 1")
     )
-    return (
-        buckets.select(F.explode(ordered_pair_structs(ids)).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    return buckets.selectExpr(f"inline({ordered_pairs_sql('ids')})").distinct()
 
 
 def ordered_pair_structs(ids: F.Column) -> F.Column:
@@ -302,6 +308,16 @@ def ordered_pair_structs(ids: F.Column) -> F.Column:
                 lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
             ),
         )
+    )
+
+
+def ordered_pairs_sql(ids: str) -> str:
+    """SQL-string twin of ``ordered_pair_structs`` for single-parse call
+    sites (``ids`` is a SQL expression evaluating to a sorted array)."""
+    return (
+        f"flatten(transform({ids}, (x, i) -> "
+        f"transform(slice({ids}, i + 2, size({ids})), "
+        f"y -> struct(x AS id_a, y AS id_b))))"
     )
 
 
