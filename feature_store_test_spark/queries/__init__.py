@@ -16,6 +16,7 @@ Modules:
     retrieval       bigram-LM quality scoring, BM25 keyword search
     graphrank       PageRank over the aggregated nation trade graph
     sketches        count-min heavy hitters with exact rerank
+    fuzzy           edit-distance fuzzy matching (length-band blocked levenshtein join)
 """
 
 from feature_store_test_spark.queries import (  # noqa: F401
@@ -24,6 +25,7 @@ from feature_store_test_spark.queries import (  # noqa: F401
     dedup,
     extended,
     feature_parity,
+    fuzzy,
     graphrank,
     multimodal,
     pipeline,

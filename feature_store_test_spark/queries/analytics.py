@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table
-from feature_store_test_spark.functions import dec_sum
+from feature_store_test_spark.functions import dec_sum, dec_ticks
 from feature_store_test_spark.registry import register
 
 
@@ -711,4 +711,207 @@ def q137_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q140 — Pareto frontier (skyline): the non-dominated orders per priority
+# class on (minimize o_totalprice, maximize total quantity). The textbook
+# skyline operator is quadratic (every point against every point); on a
+# 2-D skyline one sort is enough: after ordering by price, a point is
+# dominated iff a strictly-cheaper point ships at least as much (A >= qty)
+# or a no-more-expensive point ships strictly more (B > qty). Both
+# running maxima come from RANGE frames over the SAME sort, so the whole
+# skyline costs one shuffle — linear at any scale, no pairwise stage.
+# Ticks (exact integer cents) are the RANGE key: value-based frames need a
+# numeric key, and the 1-tick-preceding bound is exactly "strictly
+# cheaper". The oracle is the semantic definition itself (NOT EXISTS
+# dominance), so the linear plan is checked against the quadratic truth.
+# ---------------------------------------------------------------------------
+@register(
+    "q140_pareto_orders",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT o_orderpriority, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+    FROM q i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM q j
+      WHERE j.o_orderpriority = i.o_orderpriority
+        AND j.o_totalprice <= i.o_totalprice
+        AND j.total_qty >= i.total_qty
+        AND (j.o_totalprice < i.o_totalprice OR j.total_qty > i.total_qty)
+    )
+    """,
+    doc="2-D Pareto skyline per priority (cheapest orders shipping the most) via one sorted window",
+    tags=("window", "skyline", "join"),
+)
+def q140_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty")
+    )
+    q = orders.join(qty, orders["o_orderkey"] == qty["l_orderkey"]).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        "total_qty",
+        dec_ticks(F.col("o_totalprice"), 2).alias("__ticks"),
+    )
+    w_strict = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("__ticks")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_incl = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("__ticks")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    qty_c = F.col("total_qty")
+    dominated = (
+        F.coalesce(F.max(qty_c).over(w_strict), F.lit(-1)) >= qty_c
+    ) | (F.max(qty_c).over(w_incl) > qty_c)
+    return (
+        q.withColumn("__dom", dominated)
+        .where(~F.col("__dom"))
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q141 — exact statistical outliers per group, transcendental-free: flag
+# events whose value sits more than k standard deviations from its
+# event-type mean, WITHOUT ever computing a mean, a variance, or a sqrt.
+# (x - S/n)^2 > k^2 * (nQ - S^2)/n^2  <=>  (n*x - S)^2 > k^2 * (n*Q - S^2)
+# over integer ticks — every quantity an integer, so Spark DECIMAL(38,0)
+# and DuckDB HUGEINT agree bit-for-bit and the cross-engine float
+# discipline (see functions.py) is trivially satisfied. Plan: one bounded
+# group-stats aggregation (|event types| rows), broadcast back over the
+# scan — a single shuffle of group-count size, linear at any corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "q141_group_outliers",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, event_type, value,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*)::HUGEINT AS n,
+             SUM(x) AS sx, SUM(x * x) AS qx
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type, event_id, value,
+           CASE WHEN n * x > sx THEN 'high' ELSE 'low' END AS side
+    FROM t JOIN s USING (event_type)
+    WHERE (n * x - sx) * (n * x - sx) > 9 * (n * qx - sx * sx)
+    """,
+    doc="exact k-sigma outliers per event type via integer cross-multiply (no sqrt, no division)",
+    tags=("agg", "outliers", "events"),
+)
+def q141_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    t = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        dec_ticks(F.col("value"), 2).cast("decimal(20,0)").alias("x"),
+    )
+    stats = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("qx"),
+    )
+    joined = t.join(F.broadcast(stats), "event_type")
+    n, x, sx, qx = (F.col(c) for c in ("n", "x", "sx", "qx"))
+    d = n * x - sx
+    return (
+        joined.where(d * d > F.lit(9) * (n * qx - sx * sx))
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            F.when(n * x > sx, F.lit("high")).otherwise(F.lit("low")).alias("side"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q142 — per-group trend features (OLS slope / intercept / r²) with exact
+# cross-engine bits and zero transcendentals: the per-entity trend feature a
+# feature store materializes from an event stream. Two-layer discipline:
+# (1) all six sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate
+# as EXACT integers (seconds-offset × value ticks; DECIMAL(38,0) in Spark,
+# HUGEINT in DuckDB) — summation-order-free, so partial aggregation at any
+# parallelism gives the same bits; (2) the closed-form OLS formula then
+# runs in DOUBLE over those identical integers with the identical
+# association order on both engines — IEEE arithmetic is deterministic, so
+# slope/intercept/r² match bit-for-bit without any rounding discipline.
+# Degenerate groups (zero x- or y-variance) are filtered on the EXACT
+# integer variance numerators, never on a float. One group-sized shuffle.
+# ---------------------------------------------------------------------------
+_TREND_EPOCH_S = 1704067200  # 2024-01-01 00:00:00 UTC: centers x to avoid
+#                              (Σx)² overflowing 38 digits at the 100x point
+
+_OLS_COV = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+_OLS_VARX = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+_OLS_VARY = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+_OLS_SLOPE = f"({_OLS_COV} / {_OLS_VARX})"
+_OLS_SELECT = (
+    f"{_OLS_SLOPE} AS slope",
+    f"((CAST(sy AS DOUBLE) - {_OLS_SLOPE} * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS intercept",
+    f"(({_OLS_COV} * {_OLS_COV}) / ({_OLS_VARX} * {_OLS_VARY})) AS r2",
+)
+
+
+@register(
+    "q142_group_trend",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 1000000 - {_TREND_EPOCH_S} AS HUGEINT) AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*)::HUGEINT AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           {_OLS_SELECT[0]}, {_OLS_SELECT[1]}, {_OLS_SELECT[2]}
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    doc="per-event-type OLS trend (slope/intercept/r2): exact integer moments, IEEE-identical closed form",
+    tags=("agg", "ml", "trend"),
+)
+def q142_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    t = ev.select(
+        F.col("event_type"),
+        F.expr(
+            f"CAST(unix_micros(ts) DIV 1000000 - {_TREND_EPOCH_S} AS DECIMAL(20,0))"
+        ).alias("x"),
+        dec_ticks(F.col("value"), 2).cast("decimal(20,0)").alias("y"),
+    )
+    s = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.where("n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0").selectExpr(
+        "event_type", "CAST(n AS BIGINT) AS n", *_OLS_SELECT
     )

@@ -1,0 +1,83 @@
+"""Fuzzy string matching: edit-distance near-duplicate detection.
+
+The classic record-linkage / catalog-dedup primitive the exact and
+shingle families can't express: two names that differ by a typo
+(levenshtein distance <= d) are duplicates even when no shingle
+survives. Both engines ship the same Wagner-Fischer ``levenshtein`` —
+an integer, so the oracle comparison is exact by construction.
+
+Scale design (the similarity-join length-filter):
+* collapse to DISTINCT names first (groupBy + count) — catalog name
+  columns are vocabulary-bounded relative to row count, and every
+  downstream cost is in vocabulary size, not corpus size;
+* block candidate pairs by the PROVABLE length filter — levenshtein
+  (a, b) <= d implies abs(len(a) - len(b)) <= d — realized as an
+  equi-join: the left side explodes each name to the d+1 length keys
+  [len, len+d], the right side joins on its own length. A pair with
+  len_a < len_b meets exactly once (key = len_b); equal-length pairs
+  meet in both orders and the name-order filter keeps one. Never an
+  all-pairs cross join;
+* the quadratic levenshtein itself runs only on length-compatible
+  candidates inside one codegen'd filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_store_test_spark.data import load_table
+from feature_store_test_spark.registry import register
+
+_MAX_DIST = 2
+
+
+# ---------------------------------------------------------------------------
+# Q139 — fuzzy catalog dedup over part names: distinct-collapse, length-band
+# blocked self-join, exact levenshtein verify. Reference parity: extends the
+# exact-dedup family (SURVEY §2 north-star) with the typo-tolerant matcher a
+# catalog ingest pipeline needs.
+# ---------------------------------------------------------------------------
+@register(
+    "q139_fuzzy_name_match",
+    oracle=f"""
+    WITH d AS (
+      SELECT p_name, COUNT(*) AS cnt FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.cnt + b.cnt AS n_affected
+    FROM d a JOIN d b
+      ON (length(a.p_name) < length(b.p_name)
+          AND length(b.p_name) <= length(a.p_name) + {_MAX_DIST})
+      OR (length(a.p_name) = length(b.p_name) AND a.p_name < b.p_name)
+    WHERE levenshtein(a.p_name, b.p_name) <= {_MAX_DIST}
+    """,
+    doc="edit-distance fuzzy dedup of part names (length-band blocked)",
+    tags=("dedup", "fuzzy", "join"),
+)
+def q139_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    d = _MAX_DIST
+    # left explodes to the band keys; right joins on its exact length
+    left = names.selectExpr(
+        "p_name AS name_a",
+        "cnt AS cnt_a",
+        "length(p_name) AS len_a",
+        f"explode(sequence(length(p_name), length(p_name) + {d})) AS k",
+    )
+    right = names.selectExpr(
+        "p_name AS name_b", "cnt AS cnt_b", "length(p_name) AS len_b"
+    )
+    return (
+        left.join(right, left["k"] == right["len_b"])
+        .where(f"len_a < len_b OR (len_a = len_b AND name_a < name_b)")
+        .where(f"levenshtein(name_a, name_b) <= {d}")
+        .selectExpr(
+            "name_a",
+            "name_b",
+            "levenshtein(name_a, name_b) AS dist",
+            "cnt_a + cnt_b AS n_affected",
+        )
+    )

@@ -1,0 +1,154 @@
+"""Structural tests for the round-4 fuzzy / skyline / trend queries.
+
+The oracle gate already hash-checks q139/q140/q141/q142 against DuckDB;
+these tests pin the properties the SQL comparison can't state directly:
+the length-band blocking loses NOTHING vs the naive all-pairs join, the
+linear skyline equals the quadratic dominance definition on adversarial
+tie data, and the exact-moment trend stats are partition-layout-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feature_store_test_spark.queries.fuzzy import _MAX_DIST, q139_fuzzy_name_match
+from feature_store_test_spark.queries.analytics import (
+    q140_pareto_orders,
+    q142_group_trend,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_length_band_blocking_is_lossless(spark):
+    """q139's banded join == the naive all-pairs levenshtein filter.
+
+    q139 orients each pair shorter-name-first (alphabetical only on equal
+    length), so compare canonical unordered pairs.
+    """
+    blocked = {
+        (frozenset((r.name_a, r.name_b)), r.dist, r.n_affected)
+        for r in q139_fuzzy_name_match(spark, SF).collect()
+    }
+    names = (
+        spark.read.parquet(f"{SF}/part.parquet")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = names.selectExpr("p_name AS name_a", "cnt AS cnt_a")
+    b = names.selectExpr("p_name AS name_b", "cnt AS cnt_b")
+    naive = {
+        (frozenset((r.name_a, r.name_b)), r.dist, r.n_affected)
+        for r in a.crossJoin(b)
+        .where(f"name_a < name_b AND levenshtein(name_a, name_b) <= {_MAX_DIST}")
+        .selectExpr(
+            "name_a", "name_b",
+            "levenshtein(name_a, name_b) AS dist",
+            "cnt_a + cnt_b AS n_affected",
+        )
+        .collect()
+    }
+    assert blocked == naive and len(blocked) > 0
+
+
+def test_skyline_keeps_tied_duplicates_and_matches_naive(spark):
+    """Identical (price, qty) points are mutually non-dominated — BOTH stay;
+    and the one-sort skyline equals the quadratic definition on a small
+    adversarial frame (ties in each dimension, a dominated duplicate)."""
+    rows = [
+        # (priority, orderkey, price, qty)
+        ("P", 1, 10.00, 5),
+        ("P", 2, 10.00, 5),   # exact duplicate of 1 -> both on frontier
+        ("P", 3, 10.00, 4),   # same price, strictly less qty -> dominated
+        ("P", 4, 9.00, 5),    # cheaper at same qty -> dominates 1 and 2
+        ("P", 5, 11.00, 6),   # more qty, pricier -> frontier
+        ("P", 6, 11.00, 6),   # its duplicate -> frontier
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderpriority string, o_orderkey int, o_totalprice double, total_qty long"
+    )
+    from feature_store_test_spark.functions import dec_ticks
+    from pyspark.sql import Window
+
+    q = df.withColumn("__ticks", dec_ticks(F.col("o_totalprice"), 2))
+    w_strict = (
+        Window.partitionBy("o_orderpriority").orderBy("__ticks")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_incl = (
+        Window.partitionBy("o_orderpriority").orderBy("__ticks")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    qty = F.col("total_qty")
+    dominated = (
+        F.coalesce(F.max(qty).over(w_strict), F.lit(-1)) >= qty
+    ) | (F.max(qty).over(w_incl) > qty)
+    got = {
+        r.o_orderkey
+        for r in q.withColumn("__dom", dominated).where(~F.col("__dom")).collect()
+    }
+    # quadratic truth
+    pts = {k: (p, s) for _, k, p, s in rows}
+    naive = {
+        k for k, (p, s) in pts.items()
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for k2, (p2, s2) in pts.items() if k2 != k
+        )
+    }
+    assert got == naive == {4, 5, 6}
+
+
+def test_skyline_on_fixture_matches_quadratic(spark):
+    """q140 on the sf0.001 fixture == the naive quadratic dominance set."""
+    got = {
+        (r.o_orderpriority, r.o_orderkey)
+        for r in q140_pareto_orders(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    base = (
+        orders.join(
+            li.groupBy("l_orderkey").agg(
+                F.sum(F.col("l_quantity").cast("long")).alias("q")
+            ),
+            orders["o_orderkey"] == F.col("l_orderkey"),
+        )
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "q")
+        .collect()
+    )
+    naive = set()
+    by_g: dict[str, list] = {}
+    for r in base:
+        by_g.setdefault(r.o_orderpriority, []).append(r)
+    for g, rs in by_g.items():
+        for i in rs:
+            if not any(
+                j.o_totalprice <= i.o_totalprice
+                and j.q >= i.q
+                and (j.o_totalprice < i.o_totalprice or j.q > i.q)
+                for j in rs
+            ):
+                naive.add((g, i.o_orderkey))
+    assert got == naive and len(got) > 0
+
+
+def test_trend_is_partition_layout_proof(spark):
+    """q142's sufficient statistics are exact integers, so the double
+    outputs are bit-identical under any repartitioning of the input."""
+    base = {tuple(r) for r in q142_group_trend(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    for parts in (1, 7):
+        ev.repartition(parts).createOrReplaceTempView("__trend_ev")
+        # rebuild through the same code path but over the reshuffled view
+        import feature_store_test_spark.queries.analytics as A
+
+        orig = A.load_table
+        try:
+            A.load_table = lambda s, name, d, _o=orig: (
+                s.table("__trend_ev") if name == "events" else _o(s, name, d)
+            )
+            got = {tuple(r) for r in q142_group_trend(spark, SF).collect()}
+        finally:
+            A.load_table = orig
+        assert got == base
