@@ -184,6 +184,29 @@ def main() -> None:
     # their noise.
     timings = time_spark(sf_dir, n_runs=3)
     job_counts = count_jobs(sf_dir)
+
+    def time_construction(data_dir: str, n_runs: int = 2) -> dict[str, float]:
+        # Plan-construction floor: the classic PySpark DataFrame API
+        # analyzes the accumulated plan eagerly on EVERY transformation
+        # (JVM-side), so each fn() call pays Catalyst analysis before any
+        # job runs. This pass times fn() alone — the construction share
+        # of each measured window. Profiling shows the cost is JVM
+        # analysis of large expression trees (q01's exact-money aggs,
+        # the minhash windows), not py4j chatter: call-count halved with
+        # single-parse selectExpr forms and the wall barely moved.
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, data_dir)
+                runs.append(time.perf_counter() - t0)
+            out[name] = round(min(runs), 4)
+            release_caches()
+            release_new_rdds(spark, baseline_rdds)
+        return out
+
+    construct = time_construction(sf_dir)
     # per-job scheduling floor: a minimal 1-job query, min-of-5
     floor_runs = []
     for _ in range(5):
@@ -365,6 +388,10 @@ def main() -> None:
                 per_job_floor_sec * sum(job_counts.values()), 2
             ),
         },
+        # eager-analysis evidence: seconds each measured window spends in
+        # JVM plan analysis before the first job (fn() alone, min-of-2);
+        # an engine with prepared statements pays this once, not per run
+        "plan_construction_sec": round(sum(construct.values()), 2),
         "scale10x": scale10x,
         "throughput": throughput,
         "sf": sf_val,
@@ -377,6 +404,7 @@ def main() -> None:
     # floor evidence: most sub-second sf0.1 entries are ~job_count × floor
     detail["job_counts"] = job_counts
     detail["per_job_floor_sec"] = per_job_floor_sec
+    detail["plan_construction"] = construct
     self_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
     )

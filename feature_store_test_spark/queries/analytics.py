@@ -915,3 +915,78 @@ def q142_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.where("n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0").selectExpr(
         "event_type", "CAST(n AS BIGINT) AS n", *_OLS_SELECT
     )
+
+
+# ---------------------------------------------------------------------------
+# Q143 — winsorized robust statistics per group: clamp each value to its
+# group's [P1, P99] band. The feature-engineering staple for heavy-tailed
+# metrics (a single whale order no longer owns the mean). Exactness chain:
+# Spark's exact `percentile` interpolates bit-identically to DuckDB's
+# `quantile_cont` (parity established by q90b and re-verified on these
+# bands), and the band membership test compares identical doubles. The
+# output is the winsorized DECOMPOSITION — interior decimal-exact sum +
+# clamp counts + the band doubles (win_sum = interior_sum + n_lo·lo +
+# n_hi·hi) — rather than a pre-folded winsorized sum: an interpolated
+# boundary can land exactly on a cent-rounding tie, where repr-rounding
+# (DuckDB cast) and binary rounding disagree — the precise case the repo's
+# "never round a value that can terminate at the boundary" rule forbids
+# (measured: one such boundary at sf0.1 skewed a folded sum by 0.01 per
+# clamped row). Interior values are raw money-grid data, dec_sum-safe.
+# Plan: one group-stats aggregation (exact percentile — fine while a
+# group's values fit an executor; the documented scale swap is
+# approx_percentile with the same downstream shape), broadcast the
+# |groups|-row band table back over the scan, one bounded final agg.
+# ---------------------------------------------------------------------------
+@register(
+    "q143_winsorized_stats",
+    oracle="""
+    WITH bands AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    ),
+    tagged AS (
+      SELECT e.event_type, e.value, b.lo, b.hi,
+             CAST(e.value < b.lo AS INT) AS is_lo,
+             CAST(e.value > b.hi AS INT) AS is_hi
+      FROM events e JOIN bands b USING (event_type)
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(is_lo) AS BIGINT) AS n_clamped_lo,
+           CAST(SUM(is_hi) AS BIGINT) AS n_clamped_hi,
+           MIN(lo) AS lo, MIN(hi) AS hi,
+           CAST(SUM(CASE WHEN is_lo = 0 AND is_hi = 0
+                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS interior_sum
+    FROM tagged GROUP BY event_type
+    """,
+    doc="per-group winsorized decomposition: exact [P1,P99] bands, clamp counts, interior decimal sum",
+    tags=("agg", "robust", "percentile"),
+)
+def q143_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    bands = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    tagged = ev.join(F.broadcast(bands), "event_type").selectExpr(
+        "event_type",
+        "value",
+        "lo",
+        "hi",
+        "CAST(value < lo AS INT) AS is_lo",
+        "CAST(value > hi AS INT) AS is_hi",
+    )
+    return tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_lo").cast("bigint").alias("n_clamped_lo"),
+        F.sum("is_hi").cast("bigint").alias("n_clamped_hi"),
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        dec_sum(
+            F.when((F.col("is_lo") == 0) & (F.col("is_hi") == 0), F.col("value")),
+            2,
+            "interior_sum",
+        ),
+    )

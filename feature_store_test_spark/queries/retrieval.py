@@ -202,3 +202,96 @@ def q134_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q144 — late-interaction (MaxSim) retrieval over multi-vector documents.
+# The ColBERT-style scorer: a document is a BAG of token vectors, a query
+# scores as sum over its token vectors of the MAX dot product against any
+# document token — far finer-grained than single-vector cosine, and the
+# modern dense-retrieval rerank shape. The fixture's 64-dim embeddings are
+# declared as 8 token vectors x 8 dims (the multi-vector layout is the
+# semantics under test; a real encoder would emit the tokens directly).
+#
+# Plan: the bounded query set (2 vectors) broadcasts over one corpus scan;
+# the 8x8 dot-product/max/sum lattice is ONE generated codegen expression
+# (no explode — the token fan-out never materializes rows); a 2-partition
+# window takes top-10 per query. Linear scan per query at any corpus
+# size, embarrassingly parallel.
+#
+# Cross-engine exactness: both dialects are generated from the same
+# lattice with left-associated dot products and pairwise-nested greatest/
+# additions, all over float->double widened elements — identical IEEE op
+# sequence, identical bits, raw-double ORDER BY with vec_id tiebreak.
+# ---------------------------------------------------------------------------
+_MS_TOK, _MS_DIM = 8, 8
+_MS_TOPK = 10
+_MS_NQ = 2
+
+
+def _maxsim_expr(qcol: str, dcol: str, idx) -> str:
+    """MaxSim score expression; ``idx(col, k)`` renders 1-based element
+    access in the target dialect (shared lattice -> identical IEEE ops)."""
+
+    def dot(qt: int, dt: int) -> str:
+        terms = [
+            f"(CAST({idx(qcol, qt * _MS_DIM + k + 1)} AS DOUBLE) * "
+            f"CAST({idx(dcol, dt * _MS_DIM + k + 1)} AS DOUBLE))"
+            for k in range(_MS_DIM)
+        ]
+        e = terms[0]
+        for t in terms[1:]:
+            e = f"({e} + {t})"
+        return e
+
+    maxes = [
+        "greatest(" + ", ".join(dot(qt, dt) for dt in range(_MS_TOK)) + ")"
+        for qt in range(_MS_TOK)
+    ]
+    e = maxes[0]
+    for m in maxes[1:]:
+        e = f"({e} + {m})"
+    return e
+
+
+@register(
+    "q144_maxsim_retrieval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe
+      FROM embeddings WHERE vec_id < {_MS_NQ}
+    ),
+    scored AS (
+      SELECT q.q_id, d.vec_id,
+             {_maxsim_expr("qe", "embedding", lambda c, k: f"{c}[{k}]")} AS score
+      FROM embeddings d JOIN q ON d.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= {_MS_TOPK}
+    """,
+    doc="ColBERT-style MaxSim late-interaction top-k over 8x8-dim multi-vector embeddings",
+    tags=("similarity", "retrieval", "maxsim"),
+)
+def q144_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") < _MS_NQ).selectExpr(
+        "vec_id AS q_id", "embedding AS qe"
+    )
+    score = _maxsim_expr("qe", "embedding", lambda c, k: f"element_at({c}, {k})")
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .selectExpr("q_id", "vec_id", f"{score} AS score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _MS_TOPK)
+        .select("q_id", "vec_id", "score", "rank")
+    )

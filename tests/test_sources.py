@@ -88,3 +88,44 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_quarantine_split_json_and_csv(spark, tmp_path):
+    """Malformed lines become quarantined rows, never a dead stage; good
+    rows parse with the declared schema; counts reconcile exactly."""
+    from pyspark.sql import types as T
+
+    from feature_store_test_spark.sources import read_with_quarantine, split_quarantine
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    jpath = str(tmp_path / "in.jsonl")
+    with open(jpath, "w") as f:
+        f.write('{"id": 1, "name": "a", "score": 0.5}\n')
+        f.write("this is not json at all\n")
+        f.write('{"id": 2, "name": "b", "score": 1.5}\n')
+        f.write('{"id": 3, "name": "c", "score": }\n')  # truncated value
+    df = read_with_quarantine(spark, jpath, schema, fmt="json")
+    good, bad = split_quarantine(df)
+    assert good.count() == 2 and bad.count() == 2
+    assert [f.name for f in good.schema.fields] == ["id", "name", "score"]
+    assert {r.id for r in good.collect()} == {1, 2}
+    # the quarantined payloads survive verbatim for the dead-letter sink
+    payloads = {r["_corrupt_record"] for r in bad.collect()}
+    assert "this is not json at all" in payloads
+
+    cpath = str(tmp_path / "in.csv")
+    with open(cpath, "w") as f:
+        f.write("id,name,score\n")
+        f.write("1,a,0.5\n")
+        f.write("2,b,not_a_number\n")  # type mismatch -> quarantined
+        f.write("3,c,2.5\n")
+    cdf = read_with_quarantine(spark, cpath, schema, fmt="csv")
+    cgood, cbad = split_quarantine(cdf)
+    assert cgood.count() == 2 and cbad.count() == 1
+    assert cbad.collect()[0]["_corrupt_record"] == "2,b,not_a_number"
