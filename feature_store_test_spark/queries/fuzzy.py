@@ -81,3 +81,85 @@ def q139_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt_a + cnt_b AS n_affected",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q147 — entity resolution end-to-end: the operator COMPOSITION the fuzzy
+# matcher exists for. q139's length-band levenshtein edges feed the same
+# connected-components operator the document dedup family uses
+# (operators/graph.py — iterative min-label propagation, lineage-
+# truncated), and every catalog name resolves to its family's canonical
+# (lexicographically smallest) name — typo chains A~B~C collapse into one
+# entity even when lev(A, C) > d. The oracle replays the fixpoint with a
+# recursive CTE over identically-defined edges (different algorithm, same
+# unique answer — the labeling is engine-invariant). Scale: vocabulary-
+# bounded like q139; the propagation shuffles (name, label) pairs only,
+# O(family diameter) rounds.
+# ---------------------------------------------------------------------------
+@register(
+    "q147_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT p_name, COUNT(*) AS cnt FROM part GROUP BY p_name
+    ),
+    edges AS (
+      SELECT a.p_name AS s, b.p_name AS t
+      FROM d a JOIN d b
+        ON abs(length(a.p_name) - length(b.p_name)) <= {_MAX_DIST}
+       AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= {_MAX_DIST}
+    ),
+    und AS (SELECT s, t FROM edges UNION SELECT t AS s, s AS t FROM edges),
+    reach(src, dst) AS (
+      SELECT p_name, p_name FROM d
+      UNION
+      SELECT r.src, u.t FROM reach r JOIN und u ON r.dst = u.s
+    )
+    SELECT r.src AS p_name, MIN(r.dst) AS canonical_name, MIN(d.cnt) AS n_rows
+    FROM reach r JOIN d ON d.p_name = r.src
+    GROUP BY r.src
+    """,
+    doc="entity resolution: levenshtein edges -> connected components -> canonical catalog name",
+    tags=("dedup", "fuzzy", "graph", "iterative"),
+)
+def q147_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from feature_store_test_spark.operators.graph import connected_components
+
+    part = load_table(spark, "part", sf_dir)
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    # connected_components' monotone convergence check sums NUMERIC
+    # labels; map names to order-preserving dense ids (min id <-> min
+    # name, so the component id round-trips to the lexicographic
+    # canonical). The global sort is over the collapsed VOCABULARY —
+    # the same bounded frame every other stage here works on.
+    ids = names.select(
+        "p_name", F.row_number().over(Window.orderBy("p_name")).alias("nid")
+    )
+    d = _MAX_DIST
+    left = ids.selectExpr(
+        "p_name AS name_a",
+        "nid AS nid_a",
+        "length(p_name) AS len_a",
+        f"explode(sequence(length(p_name), length(p_name) + {d})) AS k",
+    )
+    right = ids.selectExpr(
+        "p_name AS name_b", "nid AS nid_b", "length(p_name) AS len_b"
+    )
+    edges = (
+        left.join(right, left["k"] == right["len_b"])
+        .where("len_a < len_b OR (len_a = len_b AND name_a < name_b)")
+        .where(f"levenshtein(name_a, name_b) <= {d}")
+        .select("nid_a", "nid_b")
+    )
+    cc = connected_components(edges, "nid_a", "nid_b")
+    canon = ids.selectExpr("nid AS comp_nid", "p_name AS canonical_name")
+    return (
+        ids.join(cc, ids["nid"] == cc["node"], "left")
+        .select("p_name", F.coalesce("component", F.col("nid")).alias("comp_nid"))
+        .join(F.broadcast(canon), "comp_nid")
+        .join(names, "p_name")
+        .select("p_name", "canonical_name", F.col("cnt").alias("n_rows"))
+    )
