@@ -17,6 +17,7 @@ Modules:
     graphrank       PageRank over the aggregated nation trade graph
     sketches        count-min heavy hitters with exact rerank
     fuzzy           edit-distance fuzzy matching (length-band blocked levenshtein join)
+    profiling       one-pass column profiler (rows / nulls / exact distinct)
 """
 
 from feature_store_test_spark.queries import (  # noqa: F401
@@ -29,6 +30,7 @@ from feature_store_test_spark.queries import (  # noqa: F401
     graphrank,
     multimodal,
     pipeline,
+    profiling,
     relational,
     relational2,
     relational3,
