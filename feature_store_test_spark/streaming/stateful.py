@@ -190,3 +190,89 @@ def stateful_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming decayed counter: the stateful twin of q145_decayed_spend.
+# ---------------------------------------------------------------------------
+
+DECAY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("scaled_sum", T.LongType()),
+        T.StructField("n_in_window", T.LongType()),
+    ]
+)
+
+DECAY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_in_window", T.LongType()),
+        T.StructField("decayed_spend", T.DoubleType()),
+    ]
+)
+
+
+def _decay_fold(divisor: float):
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        scaled, n = state.get if state.exists else (0, 0)
+        scaled, n = int(scaled), int(n)
+        for pdf in pdfs:
+            # the scaled term is an exact integer — addition commutes, so
+            # arrival order across micro-batches cannot change the state
+            scaled += int(pdf["scaled_term"].sum())
+            n += len(pdf)
+        state.update((scaled, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_in_window": [n],
+                "decayed_spend": [scaled / divisor],
+            }
+        )
+
+    return fold
+
+
+def stateful_decayed_spend(events: DataFrame, anchor: str, window_days: int = 30) -> DataFrame:
+    """events(user_id, ts, value) [streaming] → per-user exponentially
+    time-decayed spend (half-life 1 day), exact and ORDER-FREE.
+
+    The q145 power-of-two trick carries over: each event contributes the
+    integer ``ticks(value) << (W − age_days)``, computed as a COLUMN
+    before the stateful fold, so the executor state is one integer sum —
+    and because integer addition commutes, the converged state is
+    bit-identical to the batch query no matter how events split across
+    micro-batches (the multi-batch parity test asserts exact equality,
+    not approx). Events outside [0, W] days are dropped by the same
+    declared window. State bound: one long per key holds while
+    n_key · max_ticks · 2^W < 2^63 (~8.5e3 events/key at $10k values and
+    W=30); past that, split hi/lo like functions.dec_sum — same state
+    shape, two longs.
+    """
+    from pyspark.sql import functions as F
+
+    from feature_store_test_spark.functions import dec_ticks
+
+    w = window_days
+    aged = events.select(
+        "user_id",
+        dec_ticks(F.col("value"), 2).alias("__ticks"),
+        F.datediff(F.lit(anchor).cast("date"), F.col("ts").cast("date")).alias("__k"),
+    ).where(F.col("__k").between(0, w))
+    scaled = aged.select(
+        "user_id",
+        F.expr(f"__ticks * shiftleft(CAST(1 AS BIGINT), {w} - __k)").alias(
+            "scaled_term"
+        ),
+    )
+    return scaled.groupBy("user_id").applyInPandasWithState(
+        _decay_fold(float((1 << w) * 100)),
+        outputStructType=DECAY_OUTPUT_SCHEMA,
+        stateStructType=DECAY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -209,3 +209,48 @@ def test_stateful_sessions_close_on_gap_and_timeout(spark, sf_dir, tmp_path):
     provably_closed = {t for t in batch if t[2] + gap < wm}
     assert provably_closed <= got
     assert len(got) > 0
+
+
+def test_stateful_decayed_spend_matches_batch_exactly(spark, sf_dir, tmp_path):
+    """The streaming decayed counter converges to q145's batch answer
+    BIT-EXACTLY, regardless of how events split across micro-batches —
+    the scaled term is an integer, integer addition commutes."""
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.queries.analytics import (
+        _DECAY_ANCHOR,
+        _DECAY_W,
+        q145_decayed_spend,
+    )
+    from feature_store_test_spark.streaming.stateful import stateful_decayed_spend
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # split mid-month -> two micro-batches; a user's events straddle both
+    early = ev.where(F.col("ts") < "2024-01-15")
+    late = ev.where(F.col("ts") >= "2024-01-15")
+    early.coalesce(1).write.parquet(src + "/b1")
+    time.sleep(1.1)
+    late.coalesce(1).write.parquet(src + "/b2")
+
+    stream = stream_source(spark, src + "/*", ev.schema, max_files_per_trigger=1)
+    q = (
+        stateful_decayed_spend(stream, _DECAY_ANCHOR, _DECAY_W)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("decay_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = {}
+    for r in spark.table("decay_out").collect():
+        if r.user_id not in final or r.n_in_window > final[r.user_id][0]:
+            final[r.user_id] = (r.n_in_window, r.decayed_spend)
+    want = {
+        r.user_id: (r.n_in_window, r.decayed_spend)
+        for r in q145_decayed_spend(spark, sf_dir).collect()
+    }
+    assert final == want  # exact, including every double bit
