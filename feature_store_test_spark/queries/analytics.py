@@ -133,7 +133,7 @@ def q93_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         active.join(news, "day", "left")
         .select("day", "n_active", F.coalesce("n_new", F.lit(0)).alias("n_new"))
         .withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
-        .orderBy("day")
+        .repartition(1).sortWithinPartitions("day")
     )
 
 
@@ -178,7 +178,7 @@ def q94_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
-        .orderBy("cohort_week", "week_offset")
+        .repartition(1).sortWithinPartitions("cohort_week", "week_offset")
     )
 
 
@@ -214,7 +214,7 @@ def q96_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.join(F.broadcast(total))
         .where(F.col("n_events") * 200 >= F.col("total"))
         .select("user_id", "n_events")
-        .orderBy(F.col("n_events").desc(), "user_id")
+        .repartition(1).sortWithinPartitions(F.col("n_events").desc(), "user_id")
     )
 
 
@@ -247,7 +247,7 @@ def q97_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             dec_sum("o_totalprice", out="bin_total"),
         )
-        .orderBy("bin")
+        .repartition(1).sortWithinPartitions("bin")
     )
 
 
@@ -326,7 +326,7 @@ def q99_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_users"),
             F.sum("spend").cast("double").alias("decile_spend"),
         )
-        .orderBy("decile")
+        .repartition(1).sortWithinPartitions("decile")
     )
 
 
@@ -363,7 +363,7 @@ def q100_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("prev_type", "next_type")
+        .repartition(1).sortWithinPartitions("prev_type", "next_type")
     )
 
 
@@ -398,33 +398,105 @@ def q100_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "data-quality", "anti-join", "agg"),
 )
 def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fused single-pass form (round-5 rewrite of the 4-branch anti-join
+    # sweep, which scanned lineitem 3x and built 3 broadcasts = 4+ jobs):
+    # - every DIM parent's key set is stacked into ONE tagged broadcast;
+    #   the probes join on (tag, key) with a literal tag column on the fact
+    #   side, so all three probes are plain equi BroadcastHashJoins over
+    #   the IDENTICAL broadcast child — ReuseExchange ships it once.
+    # - lineitem is scanned ONCE: two reused-broadcast left joins (part,
+    #   supplier) plus the one real shuffle left join to orders (facts are
+    #   never broadcast), then a single partial-aggregated count row.
+    # - a LEFT join + COUNT(parent IS NULL) equals the oracle's NOT EXISTS
+    #   count because parent keys are primary keys (unique): duplicate
+    #   parents could only multiply MATCHED rows, never the NULL rows being
+    #   counted — and chained joins each match at most one parent row.
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
-    checks = [
-        ("lineitem.orderkey", li, o.select("o_orderkey"),
-         F.col("l_orderkey") == F.col("o_orderkey"), False),
-        ("lineitem.partkey", li,
-         load_table(spark, "part", sf_dir).select("p_partkey"),
-         F.col("l_partkey") == F.col("p_partkey"), True),
-        ("lineitem.suppkey", li,
-         load_table(spark, "supplier", sf_dir).select("s_suppkey"),
-         F.col("l_suppkey") == F.col("s_suppkey"), True),
-        ("orders.custkey", o,
-         load_table(spark, "customer", sf_dir).select("c_custkey"),
-         F.col("o_custkey") == F.col("c_custkey"), True),
-    ]
-    parts = []
-    for name, child, parent, cond, bcast in checks:
-        p = F.broadcast(parent) if bcast else parent
-        parts.append(
-            child.join(p, cond, "left_anti").agg(
-                F.lit(name).alias("fk"), F.count(F.lit(1)).alias("n_orphans")
+    dims = (
+        load_table(spark, "part", sf_dir)
+        .select(F.lit("p").alias("fk_tag"), F.col("p_partkey").alias("fk_key"))
+        .unionByName(
+            load_table(spark, "supplier", sf_dir).select(
+                F.lit("s").alias("fk_tag"), F.col("s_suppkey").alias("fk_key")
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("fk")
+        .unionByName(
+            load_table(spark, "customer", sf_dir).select(
+                F.lit("c").alias("fk_tag"), F.col("c_custkey").alias("fk_key")
+            )
+        )
+    )
+    bpart = F.broadcast(dims).select(
+        F.col("fk_tag").alias("pt"), F.col("fk_key").alias("pk")
+    )
+    bsupp = F.broadcast(dims).select(
+        F.col("fk_tag").alias("st"), F.col("fk_key").alias("sk")
+    )
+    bcust = F.broadcast(dims).select(
+        F.col("fk_tag").alias("ct"), F.col("fk_key").alias("ck")
+    )
+    li_joined = (
+        li.select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            F.lit("p").alias("tag_p"),
+            F.lit("s").alias("tag_s"),
+        )
+        .join(
+            bpart,
+            (F.col("tag_p") == F.col("pt")) & (F.col("l_partkey") == F.col("pk")),
+            "left",
+        )
+        .join(
+            bsupp,
+            (F.col("tag_s") == F.col("st")) & (F.col("l_suppkey") == F.col("sk")),
+            "left",
+        )
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+    )
+    li_counts = li_joined.agg(
+        F.count_if(F.col("o_orderkey").isNull()).alias("n_ok"),
+        F.count_if(F.col("pk").isNull()).alias("n_pk"),
+        F.count_if(F.col("sk").isNull()).alias("n_sk"),
+    )
+    ord_counts = (
+        o.select("o_custkey", F.lit("c").alias("tag_c"))
+        .join(
+            bcust,
+            (F.col("tag_c") == F.col("ct")) & (F.col("o_custkey") == F.col("ck")),
+            "left",
+        )
+        .agg(F.count_if(F.col("ck").isNull()).alias("n_ck"))
+    )
+    li_rows = li_counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem.orderkey").alias("fk"),
+                    F.col("n_ok").alias("n_orphans"),
+                ),
+                F.struct(
+                    F.lit("lineitem.partkey").alias("fk"),
+                    F.col("n_pk").alias("n_orphans"),
+                ),
+                F.struct(
+                    F.lit("lineitem.suppkey").alias("fk"),
+                    F.col("n_sk").alias("n_orphans"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.fk", "kv.n_orphans")
+    ord_rows = ord_counts.select(
+        F.lit("orders.custkey").alias("fk"), F.col("n_ck").alias("n_orphans")
+    )
+    out = li_rows.unionByName(ord_rows)
+    return out.repartition(1).sortWithinPartitions("fk")
 
 
 # ---------------------------------------------------------------------------

@@ -846,7 +846,7 @@ def q83_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
-        .orderBy("o_orderpriority")
+        .repartition(1).sortWithinPartitions("o_orderpriority")
     )
 
 
@@ -944,7 +944,7 @@ def q86_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             np_median("value").alias("median_value"),
             np_count("value").alias("n_events"),
         )
-        .orderBy("event_type")
+        .repartition(1).sortWithinPartitions("event_type")
     )
 
 
@@ -1022,7 +1022,7 @@ def q89_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         seqs.select(deepest.alias("deepest_stage"))
         .groupBy("deepest_stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy("deepest_stage")
+        .repartition(1).sortWithinPartitions("deepest_stage")
     )
 
 
@@ -1053,7 +1053,7 @@ def q90_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             qs.getItem(2).alias("p99"),
             F.count(F.lit(1)).alias("n_rows"),
         )
-        .orderBy("l_returnflag")
+        .repartition(1).sortWithinPartitions("l_returnflag")
     )
 
 
@@ -1093,7 +1093,7 @@ def q90b_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             qs.getItem(2).alias("p99"),
             F.count(F.lit(1)).alias("n_rows"),
         )
-        .orderBy("l_returnflag")
+        .repartition(1).sortWithinPartitions("l_returnflag")
     )
 
 
@@ -1161,7 +1161,7 @@ def q132_grid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.where(F.col("value") >= F.col("thr"))
         .groupBy("event_type", "k")
         .agg(F.count(F.lit(1)).alias("n_ge"))
-        .orderBy("event_type", "k")
+        .repartition(1).sortWithinPartitions("event_type", "k")
     )
 
 

@@ -72,7 +72,7 @@ def q79_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
-        .orderBy("split", "lang")
+        .repartition(1).sortWithinPartitions("split", "lang")
     )
 
 
@@ -128,7 +128,7 @@ def q80_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_kept"),
             F.sum("n_chars").cast("bigint").alias("kept_chars"),
         )
-        .orderBy("source")
+        .repartition(1).sortWithinPartitions("source")
     )
 
 
@@ -306,7 +306,7 @@ def q87_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_kept"),
             F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
         )
-        .orderBy("source")
+        .repartition(1).sortWithinPartitions("source")
     )
 
 
@@ -365,7 +365,7 @@ def q95_source_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_rows_out"),
             F.sum("n_chars").cast("bigint").alias("chars_out"),
         )
-        .orderBy("source")
+        .repartition(1).sortWithinPartitions("source")
     )
 
 
@@ -541,7 +541,7 @@ def q108_stratified_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "realized_rate"
             ),
         )
-        .orderBy("lang")
+        .repartition(1).sortWithinPartitions("lang")
     )
 
 

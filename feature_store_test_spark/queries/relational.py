@@ -70,7 +70,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_dec_sum("l_discount", 2) / cnt, 6).alias("avg_disc"),
             cnt.alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .repartition(1).sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -201,6 +201,22 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, "supplier", sf_dir)
     n = load_table(spark, "nation", sf_dir)
     r = load_table(spark, "region", sf_dir)
+    # The three dims compose into ONE broadcast subtree (supplier ⋈ nation
+    # ⋈ region-filtered), so the fact side sees a single BroadcastHashJoin
+    # instead of three chained ones — one broadcast-build job, not three.
+    # nation/region are shuffle_hash-hinted INSIDE the build: tiny-table
+    # shuffles are extra stages within the one build job, where separate
+    # broadcasts would each be their own scheduler job. Same rows either
+    # way; the composite is supplier-subset-sized (ASIA ≈ 1/5), exactly
+    # what F.broadcast(s) already shipped.
+    dim = (
+        s.join(n.hint("shuffle_hash"), s.s_nationkey == n.n_nationkey)
+        .join(
+            r.where(F.col("r_name") == "ASIA").hint("shuffle_hash"),
+            n.n_regionkey == r.r_regionkey,
+        )
+        .select(s.s_suppkey, s.s_nationkey, n.n_name)
+    )
     return (
         c.join(
             o.where(
@@ -210,9 +226,10 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.c_custkey == o.o_custkey,
         )
         .join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(dim),
+            (li.l_suppkey == dim.s_suppkey) & (c.c_nationkey == dim.s_nationkey),
+        )
         .groupBy("n_name")
         .agg(
             _dec_sum_sql("l_extendedprice * (1 - l_discount)", 4, "revenue"),

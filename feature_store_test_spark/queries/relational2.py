@@ -109,7 +109,7 @@ def q58_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
-        .orderBy("l_returnflag")
+        .repartition(1).sortWithinPartitions("l_returnflag")
     )
 
 
@@ -151,7 +151,7 @@ def q59_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+        .repartition(1).sortWithinPartitions(F.col("custdist").desc(), F.col("c_count").desc())
     )
 
 
@@ -294,7 +294,7 @@ def q62_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             _dec_sum("c_acctbal", 2, "totacctbal"),
         )
-        .orderBy("code")
+        .repartition(1).sortWithinPartitions("code")
     )
 
 

@@ -77,7 +77,7 @@ def q69_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
+        .repartition(1).sortWithinPartitions("o_orderpriority")
     )
 
 
@@ -133,7 +133,7 @@ def q70_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(_dec_sum_sql("l_extendedprice * (1 - l_discount)", 4, "revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .repartition(1).sortWithinPartitions("supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -204,7 +204,7 @@ def q71_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mkt_share")
         )
-        .orderBy("o_year")
+        .repartition(1).sortWithinPartitions("o_year")
     )
 
 
@@ -256,7 +256,7 @@ def q72_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(profit).cast("double").alias("sum_profit"))
-        .orderBy("nation", F.col("o_year").desc())
+        .repartition(1).sortWithinPartitions("nation", F.col("o_year").desc())
     )
 
 
@@ -311,7 +311,7 @@ def q73_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.crossJoin(F.broadcast(threshold))
         .where(F.col("part_value") > F.col("thresh"))
         .select("l_partkey", "part_value")
-        .orderBy(F.col("part_value").desc(), "l_partkey")
+        .repartition(1).sortWithinPartitions(F.col("part_value").desc(), "l_partkey")
     )
 
 
@@ -360,7 +360,7 @@ def q74_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total_revenue") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
-        .orderBy("s_suppkey")
+        .repartition(1).sortWithinPartitions("s_suppkey")
     )
 
 
@@ -409,7 +409,7 @@ def q75_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .repartition(1).sortWithinPartitions(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
 
 
@@ -460,7 +460,7 @@ def q76_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
         )
-        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .repartition(1).sortWithinPartitions(F.col("o_totalprice").desc(), "o_orderkey")
     )
 
 
@@ -523,7 +523,7 @@ def q77_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.join(dominant, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
-        .orderBy("s_suppkey")
+        .repartition(1).sortWithinPartitions("s_suppkey")
     )
 
 
@@ -600,5 +600,5 @@ def q78_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.col("numwait").desc(), "s_name")
+        .repartition(1).sortWithinPartitions(F.col("numwait").desc(), "s_name")
     )
