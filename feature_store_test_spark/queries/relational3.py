@@ -455,7 +455,12 @@ def q76_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_qty") > 250
     )
     return (
-        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        # the HAVING-filtered per-order totals are the (runtime-)small
+        # side; shuffle_hash builds their per-partition hash instead of
+        # sorting the full orders shuffle (AQE makes the same call from
+        # measured sizes at the 10x profile)
+        big.hint("shuffle_hash")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
@@ -580,7 +585,10 @@ def q78_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the flag table twice (and needed a cache to avoid recomputing it).
     # The semi/anti join forms stay exercised by q06/q07/q69/q76/q77.
     flagged = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        # shuffle_hash: build the filtered two-column orders side per
+        # partition, stream lineitem — skips both SMJ sorts (PK build,
+        # uniform; see q105 for the SHJ scale note)
+        li.join(o.hint("shuffle_hash"), F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.bool_or(
