@@ -62,16 +62,20 @@ def shingle_array(
     shingle projection (see module docstring on the pushdown trap).
     """
     # single-parse SQL form: the Column-API lambda (n element_at calls per
-    # window) cost ~40ms of py4j chatter per invocation; array_join over a
-    # slice is the same string for every in-range offset (the sequence
-    # never exceeds size-n, so each slice is full-width)
+    # window) cost ~40ms of py4j chatter per invocation. The shingle
+    # string is built by direct ||-concatenation of the n (0-based) array
+    # elements — identical bytes to array_join(slice(...)) since every
+    # in-range window is full-width and split() never yields NULL
+    # elements, but without allocating a length-n sub-array per shingle
+    # (measured 0.33s -> 0.21s for the 260k-shingle sf0.1 projection).
+    shingle = " || ' ' || ".join(f"__w[i + {j}]" for j in range(n))
     return (
         df.selectExpr(f"`{id_col}`", f"split(`{text_col}`, ' ') AS __w")
         .where(f"size(__w) >= {n}")
         .selectExpr(
             f"`{id_col}`",
             f"array_distinct(transform(sequence(0, size(__w) - {n}), "
-            f"i -> array_join(slice(__w, i + 1, {n}), ' '))) AS `{out}`",
+            f"i -> {shingle})) AS `{out}`",
         )
     )
 

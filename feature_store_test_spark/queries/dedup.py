@@ -479,7 +479,14 @@ def q66_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = reps.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, size(t) - 7), i -> md5(array_join(slice(t, i, 8), ' ')))")
+            # ||-concat of the 8 (0-based) window elements — identical
+            # bytes to array_join(slice(...)), no per-window sub-array
+            # (see operators/dedup.shingle_array)
+            F.expr(
+                "transform(sequence(0, size(t) - 8), i -> md5("
+                + " || ' ' || ".join(f"t[i + {j}]" for j in range(8))
+                + "))"
+            )
         ).alias("h"),
     ).distinct()
     a = sh.select(F.col("doc_id").alias("id_a"), "h")

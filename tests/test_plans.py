@@ -164,11 +164,14 @@ def test_q102_eval_grams_broadcast_and_no_python(spark, sf_dir):
 
 
 def test_q105_small_parents_broadcast_anti_joins(spark, sf_dir):
-    """The FK audit's small-dimension checks run as broadcast anti joins
-    (never a shuffle of lineitem against a dimension table)."""
+    """The FK audit's small-dimension checks run as broadcast LEFT joins
+    feeding null-counts (never a shuffle of lineitem against a dimension
+    table); the orders probe is the one real shuffle and must scan
+    lineitem exactly once (round-5 fused single-pass form)."""
     plan = plan_of(spark, sf_dir, "q105_referential_audit")
     assert plan.count("BroadcastHashJoin") >= 3
-    assert "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "Python" not in plan
 
 
