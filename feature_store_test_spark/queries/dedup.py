@@ -281,6 +281,10 @@ _HAMMING_T = 2
     """,
     doc=f"simhash near-dup pairs (hamming <= {_HAMMING_T}) via band-pigeonhole candidate join",
     tags=("dedup", "simhash", "join"),
+    # exploded dup² output: the 10x replica's 90% dup rate makes the
+    # OUTPUT 522.8M rows by declared semantics — q39b is the bounded
+    # contract; this derived view is excluded from the 10x sweep point
+    scale_demo=True,
 )
 def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FINGERPRINT-collapsed pair generation (the q21 exact-collapse idea

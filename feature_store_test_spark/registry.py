@@ -36,18 +36,34 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None -> rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Output-bound demo view: the OUTPUT grows superlinearly by declared
+    # semantics (q39's exploded dup² pairs), so scale sweeps report the
+    # output size, not plan quality. The scale sweep skips these at the
+    # 10x point; the bounded twin (q39b) carries the scale contract.
+    scale_demo: bool = False
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(
-    name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    scale_demo: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        _REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=doc,
+            tags=tags,
+            scale_demo=scale_demo,
+        )
         return fn
 
     return deco

@@ -68,6 +68,17 @@ PROBED = [
     "q115_leakage_safe_split",
     "q116_weighted_sample",
     "q117_curation_funnel",
+    # LLM-pipeline family (round 5): the 100 TB claims that matter most
+    # are dedup/retrieval/curation — probe their collapse/blocking paths
+    # at the replica's ~90% dup rate, where the cost-based exact-collapse
+    # and banded/blocked candidate joins actually engage.
+    "q39b_simhash_groups",
+    "q121_semantic_dedup",
+    "q126_span_dedup",
+    "q129_cross_source_contamination",
+    "q131_feature_hash_near_dups",
+    "q134_bm25_search",
+    "q147_entity_resolution",
 ]
 
 
@@ -159,6 +170,33 @@ def main() -> None:
             }
         )
     )
+    if COPIES == 100:
+        # persist the deep-probe block into SCALE_SWEEP.json so sweep
+        # regenerations carry it (sweep.py reads _probe100 back)
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALE_SWEEP.json",
+        )
+        sweep = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    sweep = json.load(f)
+            except Exception:  # noqa: BLE001
+                sweep = {}
+        block = {
+            "note": (
+                f"{len(report)}-query probe at 100x replica "
+                "(SPARK_GRAFT_SCALE_COPIES=100); x1 under bench BASE "
+                "profile; min-of-2 cold runs. 100x data at "
+                f"{round(totaln / total1, 2)}x wall "
+                f"(x1 {round(total1, 2)}s -> x100 {round(totaln, 2)}s)."
+            ),
+            **report,
+        }
+        sweep["_probe100"] = block
+        with open(path, "w") as f:
+            json.dump(sweep, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -104,6 +104,13 @@ def main() -> None:
         for name in specs:
             if "err" in out[name]:
                 continue
+            if specs[name].scale_demo:
+                # output-bound demo views (q39's exploded dup² pairs):
+                # their x10 wall measures OUTPUT volume by declared
+                # semantics, not plan quality — the bounded twin (q39b)
+                # carries the scale signal
+                out[name]["skipped_10x"] = "output-bound demo view"
+                continue
             try:
                 t = run_timed(name, scale_dir)
                 out[name]["x10"] = round(t, 3)
