@@ -267,7 +267,12 @@ def _grid_cells(
     import math
 
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    eps = math.sqrt(max(2.0 * (1.0 - threshold), 1e-12))
+    # ε derives from (threshold − 5e-7), not the raw threshold: the
+    # emitted filter is round(cos, 6) ≥ t, which admits true cosines down
+    # to t − 5e-7, and grid coverage must include everything the filter
+    # can admit or the output would depend on the oversize routing in
+    # that half-ulp band (exact plan-split contract).
+    eps = math.sqrt(max(2.0 * (1.0 - (threshold - 5e-7)), 1e-12))
     nrm = l2_norm(v)
     cells = []
     for u in _grid_dirs(g, dim):
@@ -400,7 +405,10 @@ def threshold_pairs_within_buckets(
 
     # oversized-bucket probe: one small agg, memoized like ANN training —
     # a pure function of the input data, so bench loops / serving
-    # sessions pay the scan once per plan
+    # sessions pay the scan once per plan. semanticHash collisions /
+    # in-place file rewrites can only mis-route buckets between the two
+    # plan paths, and BOTH paths are exact for any routing (the ε-grid is
+    # complete) — perf-only risk, never correctness (dedup.py precedent)
     memo = (
         g.sparkSession.sparkContext.applicationId,
         g.semanticHash(),

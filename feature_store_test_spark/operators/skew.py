@@ -50,9 +50,15 @@ def detect_hot_keys(
 
     Memoized per (application, input plan, params): the probe is a pure
     function of the data, and repeated query invocations (bench loops,
-    serving sessions) should not re-scan. Capped at ``max_hot`` — hot
-    keys are few by definition; if they are not, the key is not skewed,
-    it is just big."""
+    serving sessions) should not re-scan. The memo key includes
+    ``semanticHash()`` — a 32-bit plan hash that can collide or go stale
+    if files are rewritten in place under an identical plan. That is
+    SAFE-BY-CONSTRUCTION here: both join paths are exact for ANY hot/cold
+    split, so a wrong hot-key list costs performance (an unsalted hot key
+    or a needlessly salted cold one), never correctness — the same
+    perf-only guarantee operators/dedup.py documents for its collapse
+    memo. Capped at ``max_hot`` — hot keys are few by definition; if
+    they are not, the key is not skewed, it is just big."""
     if sample_frac is None:
         sample_frac = min(1.0, max(0.02, 16.0 / hot_threshold))
     memo = (
@@ -135,6 +141,16 @@ def grid_salted_join(
     inner = b.join(s, cond, "inner").drop("__gb", "__gs", "__gb2", "__gs2")
     if how == "inner":
         return inner
+    # the left branch rebuilds unmatched rows by null-filling every
+    # small-side column BY NAME; a shared name would silently overwrite
+    # the big side's value with NULL (and break the unionByName against
+    # the inner branch, which carries both duplicates) — refuse loudly
+    overlap = set(big.columns) & set(small.columns)
+    if overlap:
+        raise ValueError(
+            "grid_salted_join(how='left') requires disjoint column names; "
+            f"alias the small side first (shared: {sorted(overlap)})"
+        )
     unmatched = big.join(
         small, F.col(big_key) == F.col(small_key), "left_anti"
     )

@@ -152,3 +152,135 @@ def test_trend_is_partition_layout_proof(spark):
         finally:
             A.load_table = orig
         assert got == base
+
+
+# ---------------------------------------------------------------------------
+# Round-5 adversarial skew (VERDICT item): a dominant name cluster — 30% of
+# all ROWS within levenshtein distance 2 of one hub name — must neither
+# blow up the candidate join nor break the component loop.
+#
+# Candidate-count formula (documented contract of the length-band block):
+# with L(k) = number of DISTINCT names of length k and d = _MAX_DIST,
+#
+#     candidates = sum_k [ L(k) * (L(k) - 1) / 2            (equal length)
+#                        + L(k) * sum_{j=k+1..k+d} L(j) ]   (cross length)
+#
+# i.e. quadratic only in the per-length-band VOCABULARY, never in row
+# count: the distinct-collapse absorbs row skew (900 duplicate rows of a
+# hub variant are ONE vocabulary entry), and the length filter bounds
+# cross-band fan-out at d+1 bands. The test asserts the realized
+# pre-levenshtein candidate count equals this formula exactly, and that
+# the full resolution still matches a naive union-find on the same data.
+# ---------------------------------------------------------------------------
+def _skewed_names() -> list[str]:
+    """30% of rows in one distance-<=2 cluster around a hub name."""
+    hub = "entityhub"
+    variants = [hub]
+    # single-char substitutions (distance 1) and one deletion (distance 1);
+    # pairs of variants sit at distance <= 2 of each other via the hub
+    for i in range(len(hub)):
+        variants.append(hub[:i] + "z" + hub[i + 1 :])
+    variants.append(hub[1:])
+    rows = []
+    for i in range(900):  # 30% of 3000 rows, heavily duplicated vocabulary
+        rows.append(variants[i % len(variants)])
+    import random
+
+    rng = random.Random(5)
+    alphabet = "abcdefghijklmnopqrstuvwxy"
+    others = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(5, 15)))
+        for _ in range(400)
+    }
+    for i, name in enumerate(sorted(others)):
+        rows.extend([name] * (1 + i % 9))
+    return rows
+
+
+def test_er_dominant_cluster_candidates_match_band_formula(spark):
+    import feature_store_test_spark.queries.fuzzy as FZ
+
+    rows = _skewed_names()
+    df = spark.createDataFrame([(n,) for n in rows], "p_name string")
+    names = df.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    d = _MAX_DIST
+    left = names.selectExpr(
+        "p_name AS name_a",
+        "length(p_name) AS len_a",
+        f"explode(sequence(length(p_name), length(p_name) + {d})) AS k",
+    )
+    right = names.selectExpr("p_name AS name_b", "length(p_name) AS len_b")
+    candidates = (
+        left.join(right, left["k"] == right["len_b"])
+        .where("len_a < len_b OR (len_a = len_b AND name_a < name_b)")
+        .count()
+    )
+    from collections import Counter
+
+    vocab = sorted(set(rows))
+    L = Counter(len(n) for n in vocab)
+    expected = sum(
+        L[k] * (L[k] - 1) // 2 + L[k] * sum(L.get(j, 0) for j in range(k + 1, k + d + 1))
+        for k in L
+    )
+    assert candidates == expected
+    # band-bounded: far below the all-pairs quadratic of the vocabulary,
+    # and UNAFFECTED by the 900-row duplication of the hub cluster
+    assert candidates < len(vocab) ** 2 / 4
+
+
+def test_er_dominant_cluster_resolves_like_naive_union_find(spark, tmp_path, monkeypatch):
+    import feature_store_test_spark.queries.fuzzy as FZ
+    from feature_store_test_spark.queries.fuzzy import q147_entity_resolution
+
+    rows = _skewed_names()
+    pdir = str(tmp_path / "part.parquet")
+    spark.createDataFrame([(n,) for n in rows], "p_name string").write.parquet(pdir)
+    orig = FZ.load_table
+    monkeypatch.setattr(
+        FZ,
+        "load_table",
+        lambda s, name, dd, _o=orig: (
+            s.read.parquet(pdir) if name == "part" else _o(s, name, dd)
+        ),
+    )
+    got = {
+        (r.p_name, r.canonical_name, r.n_rows)
+        for r in q147_entity_resolution(spark, str(tmp_path)).collect()
+    }
+    # naive union-find over all-pairs levenshtein on the vocabulary
+    import itertools
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    from collections import Counter
+
+    cnt = Counter(rows)
+    vocab = sorted(cnt)
+    parent = {n: n for n in vocab}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(vocab, 2):
+        if abs(len(a) - len(b)) <= _MAX_DIST and lev(a, b) <= _MAX_DIST:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    naive = {(n, find(n), cnt[n]) for n in vocab}
+    assert got == naive
+    # the hub cluster really is dominant and really resolved to one entity
+    hub_canon = {c for n, c, _ in naive if lev(n, "entityhub") <= 2}
+    assert len(hub_canon) == 1

@@ -148,3 +148,40 @@ def test_round1_red_queries_match_via_pandas(spark, name):
         pd.testing.assert_series_equal(
             sc, oc, check_names=False, check_dtype=False
         )
+
+
+def test_oracle_results_survive_pandas_at_sf001_size():
+    """Round-5 guard (VERDICT item): the driver's sample rotates into the
+    newest query families first, and those (q127 redaction strings, q144
+    lattice doubles) emit their largest values at the driver's sf0.01
+    compare point — so run the driver-canonicalization sweep against the
+    MATERIALIZED sf0.01 results, not just sf0.001:
+
+    - ``sort_values`` over every column must not crash (unhashable cells);
+    - every integer-kind column must stay below 2^53 in magnitude, the
+      point where the driver's float64-through-pandas path starts rounding
+      integers (the round-1 HUGEINT class of failure, value-level edition).
+    """
+    con = duckdb_connection("/root/testdata/sf0.01")
+    crash: list[tuple[str, str]] = []
+    overflow: list[tuple[str, str, int]] = []
+    for name, spec in all_queries().items():
+        if spec.oracle is None:
+            continue
+        df = con.execute(spec.oracle).df()
+        try:
+            df.sort_values(list(df.columns))
+        except TypeError as e:
+            crash.append((name, str(e)))
+            continue
+        for col in df.columns:
+            s = df[col]
+            if s.dtype.kind in ("i", "u") and len(s):
+                m = int(s.abs().max())
+                if m >= 1 << 53:
+                    overflow.append((name, col, m))
+    assert not crash, f"driver canonicalization would crash at sf0.01: {crash}"
+    assert not overflow, (
+        "integer oracle columns exceeding float64-exact range at sf0.01 "
+        "(the driver's pandas path would round them): " + repr(overflow)
+    )

@@ -254,3 +254,71 @@ def test_stateful_decayed_spend_matches_batch_exactly(spark, sf_dir, tmp_path):
         for r in q145_decayed_spend(spark, sf_dir).collect()
     }
     assert final == want  # exact, including every double bit
+
+
+def test_stateful_decayed_spend_10x_shuffled_arrival_late_tail(
+    spark, sf_dir, tmp_path
+):
+    """Round-5 scale extension (VERDICT item): bit-exact batch-stream
+    parity on a 10x key-shifted replica, with micro-batches arriving OUT
+    of event-time order and a watermark-late tail (the earliest events
+    arrive LAST). The integer scaled terms commute, so the converged
+    state must equal q145's batch answer on the same replica exactly —
+    every double bit."""
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.queries.analytics import (
+        _DECAY_ANCHOR,
+        _DECAY_W,
+        q145_decayed_spend,
+    )
+    from feature_store_test_spark.streaming.stateful import stateful_decayed_spend
+
+    base = load_table(spark, "events", sf_dir)
+    offset = base.agg(F.max("user_id") + 1).collect()[0][0]
+    replica = base
+    for i in range(1, 10):
+        replica = replica.unionByName(
+            base.withColumn(
+                "user_id", F.col("user_id") + F.lit(i * offset).cast("long")
+            )
+        )
+    rep_dir = tmp_path / "rep10x"
+    replica.write.parquet(str(rep_dir / "events.parquet"))
+
+    ev = load_table(spark, "events", str(rep_dir)).select("user_id", "ts", "value")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # four arrival files in SHUFFLED event-time order; the EARLIEST slice
+    # lands last = a late tail far behind any watermark a time-based
+    # operator would carry
+    slices = [
+        ev.where(F.col("ts") >= "2024-01-22"),
+        ev.where((F.col("ts") >= "2024-01-08") & (F.col("ts") < "2024-01-15")),
+        ev.where((F.col("ts") >= "2024-01-15") & (F.col("ts") < "2024-01-22")),
+        ev.where(F.col("ts") < "2024-01-08"),  # late tail
+    ]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(f"{src}/b{i}")
+        time.sleep(1.1)  # file source orders micro-batches by mtime
+
+    stream = stream_source(spark, src + "/*", ev.schema, max_files_per_trigger=1)
+    q = (
+        stateful_decayed_spend(stream, _DECAY_ANCHOR, _DECAY_W)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("decay10x_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt10x"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = {}
+    for r in spark.table("decay10x_out").collect():
+        if r.user_id not in final or r.n_in_window > final[r.user_id][0]:
+            final[r.user_id] = (r.n_in_window, r.decayed_spend)
+    want = {
+        r.user_id: (r.n_in_window, r.decayed_spend)
+        for r in q145_decayed_spend(spark, str(rep_dir)).collect()
+    }
+    assert final == want  # exact at 10x, shuffled arrival, late tail
