@@ -96,6 +96,21 @@ def dec_sum(col: str | F.Column, scale: int = 2, out: str | None = None) -> F.Co
     return expr.alias(out) if out else expr
 
 
+def dec_ticks_sql(x: str, scale: int) -> str:
+    """SQL-string form of ``dec_ticks`` (one parse, zero py4j chatter):
+    the exact integer ticks of ``CAST((x) AS DECIMAL(18,scale))`` as a
+    BIGINT expression over the SQL expression string ``x``. Identical
+    Catalyst tree to ``dec_ticks`` — the shared row-side half of
+    ``dec_sum``/``dec_sum_sql``."""
+    p = f"{float(10 ** scale)!r}D"
+    w = f"(({x}) * {p})"
+    near_half = f"abs({w} - FLOOR({w}) - 0.5D) < 1.0E-6D"
+    return (
+        f"CAST(CASE WHEN {near_half} THEN rint(round(({x}), {scale}) * {p}) "
+        f"ELSE rint({w}) END AS BIGINT)"
+    )
+
+
 def dec_sum_sql(x: str, scale: int = 2, out: str | None = None) -> F.Column:
     """``dec_sum`` built from ONE SQL string (``F.expr``) instead of ~25
     Column-API calls. Py4j charges a round-trip per Column call — a query
@@ -109,13 +124,7 @@ def dec_sum_sql(x: str, scale: int = 2, out: str | None = None) -> F.Column:
     when the input is an already-built Column."""
     if scale > 6:
         raise ValueError(f"dec_sum_sql supports scale <= 6, got {scale}")
-    p = f"{float(10 ** scale)!r}D"
-    w = f"(({x}) * {p})"
-    near_half = f"abs({w} - FLOOR({w}) - 0.5D) < 1.0E-6D"
-    ticks = (
-        f"CAST(CASE WHEN {near_half} THEN rint(round(({x}), {scale}) * {p}) "
-        f"ELSE rint({w}) END AS BIGINT)"
-    )
+    ticks = dec_ticks_sql(x, scale)
     hi = f"shiftright({ticks}, 22)"
     lo = f"({ticks} - {hi} * CAST(4194304 AS BIGINT))"
     total = (

@@ -61,54 +61,54 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lo-sum update paths — hash-agg codegen does not share subexpressions
     # across aggregate functions, and the doubled CASE/rint work was ~30%
     # of this query's wall time at sf0.1 (0.36s -> 0.26s measured).
-    from feature_store_test_spark.functions import dec_ticks, ticks_total
+    from feature_store_test_spark.functions import dec_ticks_sql
 
     measures = {
-        "tq": (dec_ticks(F.col("l_quantity"), 2), 2),
-        "te": (dec_ticks(F.col("l_extendedprice"), 2), 2),
-        "td": (dec_ticks(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 4),
-        "tc": (
-            dec_ticks(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax")),
-                6,
-            ),
-            6,
-        ),
-        "ti": (dec_ticks(F.col("l_discount"), 2), 2),
+        "tq": ("l_quantity", 2),
+        "te": ("l_extendedprice", 2),
+        "td": ("l_extendedprice * (1 - l_discount)", 4),
+        "tc": ("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6),
+        "ti": ("l_discount", 2),
     }
+    # single-parse selectExpr/expr strings throughout: the Column-API form
+    # of this projection cost ~0.12s of eager per-call JVM analysis
     pre = li.where(
         F.col("l_shipdate") <= F.lit("2000-12-31").cast("timestamp")
-    ).select(
+    ).selectExpr(
         "l_returnflag",
         "l_linestatus",
-        *[expr.alias(name) for name, (expr, _) in measures.items()],
+        *[f"{dec_ticks_sql(x, s)} AS {name}" for name, (x, s) in measures.items()],
     )
     aggs = []
     for name in measures:
-        hi = F.shiftright(F.col(name), 22)
-        lo = F.col(name) - hi * F.lit(1 << 22)
-        aggs.append(F.sum(hi).alias(f"{name}_hi"))
-        aggs.append(F.sum(lo).alias(f"{name}_lo"))
-    cnt = F.count(F.lit(1))
-    g = pre.groupBy("l_returnflag", "l_linestatus").agg(*aggs, cnt.alias("count_order"))
+        aggs.append(F.expr(f"SUM(shiftright({name}, 22))").alias(f"{name}_hi"))
+        aggs.append(
+            F.expr(
+                f"SUM({name} - shiftright({name}, 22) * CAST(4194304 AS BIGINT))"
+            ).alias(f"{name}_lo")
+        )
+    g = pre.groupBy("l_returnflag", "l_linestatus").agg(
+        *aggs, F.count(F.lit(1)).alias("count_order")
+    )
 
-    def total(name: str) -> F.Column:
-        return ticks_total(
-            F.col(f"{name}_hi"), F.col(f"{name}_lo"), measures[name][1]
+    def total(name: str) -> str:
+        scale = measures[name][1]
+        return (
+            f"CAST(((CAST({name}_hi AS DECIMAL(38,0)) * CAST(4194304 AS DECIMAL(8,0))"
+            f" + CAST({name}_lo AS DECIMAL(38,0)))"
+            f" / CAST({10 ** scale} AS DECIMAL(7,0))) AS DOUBLE)"
         )
 
-    return g.select(
+    return g.selectExpr(
         "l_returnflag",
         "l_linestatus",
-        total("tq").alias("sum_qty"),
-        total("te").alias("sum_base_price"),
-        total("td").alias("sum_disc_price"),
-        total("tc").alias("sum_charge"),
-        F.round(total("tq") / F.col("count_order"), 6).alias("avg_qty"),
-        F.round(total("te") / F.col("count_order"), 6).alias("avg_price"),
-        F.round(total("ti") / F.col("count_order"), 6).alias("avg_disc"),
+        f"{total('tq')} AS sum_qty",
+        f"{total('te')} AS sum_base_price",
+        f"{total('td')} AS sum_disc_price",
+        f"{total('tc')} AS sum_charge",
+        f"round({total('tq')} / count_order, 6) AS avg_qty",
+        f"round({total('te')} / count_order, 6) AS avg_price",
+        f"round({total('ti')} / count_order, 6) AS avg_disc",
         "count_order",
     ).repartition(1).sortWithinPartitions("l_returnflag", "l_linestatus")
 
@@ -256,21 +256,21 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(s.s_suppkey, s.s_nationkey, n.n_name)
     )
+    # shuffle_hash on the customer side and again on the (customer ⋈
+    # filtered-orders) side of the lineitem join: all fact-sized sides
+    # still shuffle on their keys, but each probe builds a per-partition
+    # hash of the smaller shuffled side instead of sorting both — PK/FK
+    # builds are uniform, and the q105 comment covers the SHJ-vs-SMJ
+    # scale tradeoff.
+    co = c.hint("shuffle_hash").join(
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        ),
+        c.c_custkey == o.o_custkey,
+    )
     return (
-        # shuffle_hash on the customer side: both fact-sized sides still
-        # shuffle on the join key, but the probe builds a per-partition
-        # hash of the smaller (customer) side instead of sorting both —
-        # PK-keyed builds are uniform, and the q105 comment covers the
-        # SHJ-vs-SMJ scale tradeoff.
-        c.hint("shuffle_hash")
-        .join(
-            o.where(
-                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
-            ),
-            c.c_custkey == o.o_custkey,
-        )
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(co.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(
             F.broadcast(dim),
             (li.l_suppkey == dim.s_suppkey) & (c.c_nationkey == dim.s_nationkey),

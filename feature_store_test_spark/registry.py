@@ -95,6 +95,13 @@ def managed_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def live_cache_count() -> int:
+    """Managed caches currently registered (harness introspection: a
+    query whose plan binds cached intermediates cannot be re-executed as
+    a prepared plan after those caches are released — see bench.py)."""
+    return len(_live_caches)
+
+
 def release_caches() -> None:
     """Unpersist every managed cache (call after materializing a query)."""
     while _live_caches:
