@@ -87,7 +87,10 @@ def dec_sum(col: str | F.Column, scale: int = 2, out: str | None = None) -> F.Co
     # exact decimal, so the double result is bit-identical to
     # CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE).
     hi = F.shiftright(ticks, 22)
-    lo = ticks - hi * F.lit(1 << 22)
+    # lo == ticks - hi*2^22 == ticks & (2^22 - 1) exactly (two's-complement
+    # arithmetic shift, negatives included) — the mask form evaluates the
+    # tick tree ONCE instead of twice inside the lo-sum's update path
+    lo = ticks.bitwiseAND(F.lit((1 << 22) - 1))
     total = (
         F.sum(hi).cast("decimal(38,0)") * F.lit(1 << 22).cast("decimal(8,0)")
         + F.sum(lo).cast("decimal(38,0)")
@@ -126,7 +129,9 @@ def dec_sum_sql(x: str, scale: int = 2, out: str | None = None) -> F.Column:
         raise ValueError(f"dec_sum_sql supports scale <= 6, got {scale}")
     ticks = dec_ticks_sql(x, scale)
     hi = f"shiftright({ticks}, 22)"
-    lo = f"({ticks} - {hi} * CAST(4194304 AS BIGINT))"
+    # lo = ticks & (2^22 - 1): exactly ticks - hi*2^22 for arithmetic
+    # shifts (negatives included), with ONE tick-tree evaluation, not two
+    lo = f"({ticks} & CAST(4194303 AS BIGINT))"
     total = (
         f"(CAST(SUM({hi}) AS DECIMAL(38,0)) * CAST(4194304 AS DECIMAL(8,0)) "
         f"+ CAST(SUM({lo}) AS DECIMAL(38,0)))"
@@ -157,8 +162,9 @@ def ticks_hi(ticks: F.Column) -> F.Column:
 
 
 def ticks_lo(ticks: F.Column) -> F.Column:
-    """Low slice: ticks - (ticks >> 22) * 2^22, in [0, 2^22)."""
-    return ticks - F.shiftright(ticks, 22) * F.lit(1 << 22)
+    """Low slice: ticks & (2^22 - 1) == ticks - (ticks >> 22)*2^22, in
+    [0, 2^22) — exact for negatives under the arithmetic shift."""
+    return ticks.bitwiseAND(F.lit((1 << 22) - 1))
 
 
 def ticks_total(sum_hi: F.Column, sum_lo: F.Column, scale: int) -> F.Column:

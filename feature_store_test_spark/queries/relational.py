@@ -83,9 +83,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in measures:
         aggs.append(F.expr(f"SUM(shiftright({name}, 22))").alias(f"{name}_hi"))
         aggs.append(
-            F.expr(
-                f"SUM({name} - shiftright({name}, 22) * CAST(4194304 AS BIGINT))"
-            ).alias(f"{name}_lo")
+            F.expr(f"SUM({name} & CAST(4194303 AS BIGINT))").alias(f"{name}_lo")
         )
     g = pre.groupBy("l_returnflag", "l_linestatus").agg(
         *aggs, F.count(F.lit(1)).alias("count_order")
