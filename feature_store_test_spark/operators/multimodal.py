@@ -48,6 +48,41 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def python_stage_tasks(
+    df: DataFrame, bytes_per_task: int = 2 << 20
+) -> int | None:
+    """Task count for an Arrow/Python stage, sized to the INPUT BYTES.
+
+    Each mapInPandas task pays a fixed Arrow/worker round-trip cost
+    (~10 ms); local[32] splits a 0.6 MB parquet scan into 32 ~18 KB
+    tasks (leaf parallelism targets total cores), so the fixed cost was
+    ~40% of q88's encode stage. Sizing by source bytes — one task per
+    ~2 MB of compressed input — is scale-symmetric: 0.6 MB -> 1 task
+    here, 100 TB -> ~50M-row-scale task counts, never a hardcoded
+    constant. Returns None when the plan has no file source to size by
+    (in-memory test frames); callers then leave partitioning alone.
+    Apply with ``coalesce`` (narrow, no shuffle): it only ever REDUCES
+    partition count, so a big scan that already has more bytes per task
+    than the target is untouched.
+    """
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file plans (local relations, streaming)
+        return None
+    total = 0
+    for f in files:
+        path = f[len("file:") :] if f.startswith("file:") else f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    if total <= 0:
+        return None
+    return max(1, -(-total // bytes_per_task))
+
+
 def blob_meta(blob: str | Column) -> Column:
     """Typed metadata struct extracted JVM-side (no Python in this path):
     byte length, md5 fingerprint, and a magic-byte format guess."""
@@ -131,7 +166,11 @@ def audio_features(
     No stub — actual RIFF chunk walk and PCM sample math on numpy."""
     from feature_store_test_spark.operators.codecs import decode_wav
 
-    return df.select(id_col, blob_col).mapInPandas(
+    src = df.select(id_col, blob_col)
+    n_tasks = python_stage_tasks(df)
+    if n_tasks is not None:
+        src = src.coalesce(n_tasks)  # see python_stage_tasks: bytes-sized
+    return src.mapInPandas(
         _feature_map(decode_wav, AUDIO_FEATURE_SCHEMA, id_col, blob_col),
         AUDIO_FEATURE_SCHEMA,
     )
@@ -145,7 +184,11 @@ def image_features(
     means per blob."""
     from feature_store_test_spark.operators.codecs import decode_image
 
-    return df.select(id_col, blob_col).mapInPandas(
+    src = df.select(id_col, blob_col)
+    n_tasks = python_stage_tasks(df)
+    if n_tasks is not None:
+        src = src.coalesce(n_tasks)  # see python_stage_tasks: bytes-sized
+    return src.mapInPandas(
         _feature_map(decode_image, IMAGE_FEATURE_SCHEMA, id_col, blob_col),
         IMAGE_FEATURE_SCHEMA,
     )
@@ -216,7 +259,11 @@ def decode_media(
                     out["frame_bytes"].append(len(raw))
             yield pd.DataFrame(out)
 
-    return df.select(id_col, blob_col).mapInPandas(gen, FRAME_SCHEMA)
+    src = df.select(id_col, blob_col)
+    n_tasks = python_stage_tasks(df)
+    if n_tasks is not None:
+        src = src.coalesce(n_tasks)  # see python_stage_tasks: bytes-sized
+    return src.mapInPandas(gen, FRAME_SCHEMA)
 
 
 def extract_features(
@@ -270,7 +317,11 @@ def extract_features(
                 {id_col: pdf[id_col], "embedding": [h.tolist() for h in hist]}
             )
 
-    return df.select(id_col, blob_col).mapInPandas(gen, out_schema)
+    src = df.select(id_col, blob_col)
+    n_tasks = python_stage_tasks(df)
+    if n_tasks is not None:
+        src = src.coalesce(n_tasks)  # see python_stage_tasks: bytes-sized
+    return src.mapInPandas(gen, out_schema)
 
 
 def resize_media(
@@ -331,7 +382,11 @@ def resize_media(
                 }
             )
 
-    return df.select(id_col, blob_col).mapInPandas(gen, out_schema)
+    src = df.select(id_col, blob_col)
+    n_tasks = python_stage_tasks(df)
+    if n_tasks is not None:
+        src = src.coalesce(n_tasks)  # see python_stage_tasks: bytes-sized
+    return src.mapInPandas(gen, out_schema)
 
 
 VIDEO_FEATURE_SCHEMA = T.StructType(
@@ -362,7 +417,11 @@ def video_features(
     surface a decode_error row."""
     from feature_store_test_spark.operators.codecs import decode_video
 
-    return df.select(id_col, blob_col).mapInPandas(
+    src = df.select(id_col, blob_col)
+    n_tasks = python_stage_tasks(df)
+    if n_tasks is not None:
+        src = src.coalesce(n_tasks)  # see python_stage_tasks: bytes-sized
+    return src.mapInPandas(
         _feature_map(decode_video, VIDEO_FEATURE_SCHEMA, id_col, blob_col),
         VIDEO_FEATURE_SCHEMA,
     )

@@ -178,7 +178,16 @@ def cosine_topk_arrow(
                     }
                 )
 
-    cands = corpus.mapInPandas(score, out_schema).where(
+    from feature_store_test_spark.operators.multimodal import python_stage_tasks
+
+    # Right-size the Python scoring stage to its input bytes (local leaf
+    # parallelism otherwise splits a sub-MB corpus into 32 ~20 KB Arrow
+    # tasks whose fixed worker cost dwarfs the GEMM). Safe here: each
+    # chunk emits its own >=(k+1)-th-best candidates and the global
+    # window re-ranks, so task boundaries never change the result.
+    n_tasks = python_stage_tasks(corpus)
+    src = corpus.coalesce(n_tasks) if n_tasks is not None else corpus
+    cands = src.mapInPandas(score, out_schema).where(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(

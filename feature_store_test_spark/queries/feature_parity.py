@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from feature_store_test_spark.functions import dec_sum
+from feature_store_test_spark.functions import dec_sum, json_number_field
 
 from feature_store_test_spark.data import load_table
 from feature_store_test_spark.engineering import engineer_features
@@ -26,7 +26,7 @@ def purchases_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("customer_id"),
         F.col("ts").alias("purchase_timestamp"),
         F.col("value").alias("purchase_value"),
-        F.get_json_object("props", "$.k").cast("double").alias("loyalty_score"),
+        json_number_field("props", "k").alias("loyalty_score"),
     )
 
 
