@@ -408,6 +408,14 @@ def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   count because parent keys are primary keys (unique): duplicate
     #   parents could only multiply MATCHED rows, never the NULL rows being
     #   counted — and chained joins each match at most one parent row.
+    # - bloom_prefilter (operators/bloomjoin.py) is deliberately NOT used
+    #   here: a bloom filter pays by dropping probe rows BEFORE the
+    #   shuffle, and on referential-audit data the FK match rate is ~100%
+    #   (orphans are the exception being counted) — every lineitem row
+    #   passes the filter and still shuffles, so the bloom is pure added
+    #   cost. It pays in q135's shape, where most probe rows MISS
+    #   (90% shuffle reduction there). A deploy expecting heavily-orphaned
+    #   loads would flip this, not the healthy-FK steady state.
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     pk = F.broadcast(
@@ -494,7 +502,6 @@ def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            FIRST_VALUE(c_custkey) OVER w AS nation_top_spender
     FROM spend
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey)
-    ORDER BY c_nationkey, pct_rank, c_custkey
     """,
     doc="percent_rank / cume_dist / first_value spend profile per nation",
     tags=("analytics", "window", "rank", "agg", "join"),
@@ -521,7 +528,10 @@ def q106_spend_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(w).alias("cume"),
             F.first("c_custkey").over(w).alias("nation_top_spender"),
         )
-        .orderBy("c_nationkey", "pct_rank", "c_custkey")
+        # no trailing orderBy: presentation-only over per-customer output
+        # that grows with the data — a global range sort costs a sampling
+        # job + range exchange; unordered is the honest distributed
+        # contract (q88 precedent), the harness sorts rows itself.
     )
 
 

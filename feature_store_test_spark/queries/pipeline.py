@@ -162,7 +162,6 @@ def q80_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM packed
     GROUP BY lang, bin
-    ORDER BY lang, bin
     """,
     doc="GPT-style sequence packing: cumulative token offsets → 512-token bins",
     tags=("pipeline", "window", "packing"),
@@ -188,7 +187,8 @@ def q81_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
         )
-        .orderBy("lang", "bin")
+        # no trailing orderBy: presentation-only, bins grow with the
+        # corpus (q88 precedent; the harness sorts rows itself)
     )
 
 
@@ -215,7 +215,6 @@ def q81_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS window_value
     FROM win JOIN events e ON e.ts >= w_start AND e.ts <= w_end
     GROUP BY w_user, w_day
-    ORDER BY w_user, w_day
     """,
     doc="binned interval join: global events within each user's first-activity window",
     tags=("pipeline", "rangejoin", "join", "agg"),
@@ -242,7 +241,8 @@ def q82_activity_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             dec_sum("value", 2, "window_value"),
         )
-        .orderBy("w_user", "w_day")
+        # no trailing orderBy: presentation-only, day windows grow with
+        # the data (q88 precedent; the harness sorts rows itself)
     )
 
 
@@ -399,7 +399,7 @@ def q95_source_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
     FROM grams g JOIN eval_grams e USING (gram)
     WHERE g.doc_id % 97 <> 0
-    GROUP BY 1 ORDER BY 1
+    GROUP BY 1
     """,
     doc="flag train docs sharing any 8-gram with the eval slice (exact overlap)",
     tags=("pipeline", "decontamination", "dedup", "join"),
@@ -447,7 +447,8 @@ def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(eval_grams), "gram")
             .groupBy("doc_id")
             .agg(F.countDistinct("gram").alias("n_shared"))
-            .orderBy("doc_id")
+            # no trailing orderBy: presentation-only, output grows with
+            # the corpus (q88 precedent; the harness sorts rows itself)
         )
     groups = (
         train.select("doc_id", F.xxhash64("toks").alias("__fp"))
@@ -470,7 +471,6 @@ def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep_shared.join(groups.select("__rep", "__ids"), "__rep")
         .select("n_shared", F.explode("__ids").alias("doc_id"))
         .select("doc_id", "n_shared")
-        .orderBy("doc_id")
     )
 
 

