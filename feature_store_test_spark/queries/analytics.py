@@ -437,7 +437,13 @@ def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # against a per-partition hash of orders' single key column
             # instead of sorting BOTH sides (SMJ). A PK build side is
             # uniform by construction, and Spark 3.2+ SHJ spills; measured
-            # ~40% off this query's wall at sf0.1.
+            # ~40% off this query's wall at sf0.1. (Pre-aggregating
+            # lineitem by l_orderkey before this join — the
+            # pushdown-through-join form — was A/B-measured 15% SLOWER
+            # here: the extra 600k-row hash-agg costs more than the
+            # 600k->150k shuffle cut saves; at a skewed-order 100 TB load
+            # with multi-GB order groups the pre-agg form is the swap to
+            # make.)
             o.select("o_orderkey").hint("shuffle_hash"),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left",

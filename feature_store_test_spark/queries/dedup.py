@@ -612,11 +612,11 @@ def q84_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ingested corpus (src0..src8) — a LEFT ANTI join on the md5 key — and
 # (b) it is the first occurrence of that fingerprint *within* the batch
 # (keep-min survivor rule). This is the steady-state shape of corpus
-# building: never re-shuffle the existing corpus bodies, only its
-# fingerprint column joins against the (much smaller) incoming batch.
-# Scale: corpus side reduces to distinct fingerprints (one agg), anti join
-# shuffles (fp, id) pairs only; at a 100 TB corpus the fingerprint set is
-# ~3% of the data and the batch side is broadcast-or-bucketed.
+# building: never shuffle the existing corpus bodies, only fingerprints.
+# Scale: executed as ONE scan + ONE fingerprint-keyed aggregation (the
+# anti join folds into conditional aggregates); the shuffle carries
+# (fp, small ints) with map-side partial collapse — at a 100 TB corpus
+# that is the distinct-fingerprint set, ~3% of the data.
 # ---------------------------------------------------------------------------
 @register(
     "q110_incremental_dedup",
@@ -641,23 +641,32 @@ def q84_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "anti-join", "incremental"),
 )
 def q110_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fused single-pass form of batch-vs-corpus dedup: ONE scan of
+    # documents, fingerprint computed once per row, ONE hash shuffle of
+    # (fp, flags) — the anti join is folded into the same aggregation as
+    # conditional aggregates ("seen in corpus" = bool_or over non-batch
+    # rows), so there is no second scan and no join stage at all. The
+    # shuffle still carries fingerprints + small ints only (never bodies),
+    # and map-side partial aggregation collapses duplicate fingerprints
+    # before the exchange — at a 100 TB corpus this moves exactly the
+    # distinct-fingerprint set per partition, the same volume the
+    # two-scan anti-join form shuffled, minus one full corpus re-scan.
     docs = load_table(spark, "documents", sf_dir)
-    batch = docs.where(F.col("source") == "src9").select(
-        "doc_id", Tx.fingerprint("text").alias("fp"), "n_chars"
-    )
-    corpus = (
-        docs.where(F.col("source") != "src9")
-        .select(Tx.fingerprint("text").alias("fp"))
-        .distinct()
-    )
+    is_batch = F.col("source") == "src9"
     return (
-        batch.join(corpus, "fp", "left_anti")
+        docs.select(
+            Tx.fingerprint("text").alias("fp"), is_batch.alias("__b"),
+            "doc_id", "n_chars",
+        )
         .groupBy("fp")
         .agg(
-            F.min("doc_id").alias("keep_doc_id"),
-            F.count(F.lit(1)).alias("batch_copies"),
-            F.min("n_chars").alias("n_chars"),
+            F.min(F.when(F.col("__b"), F.col("doc_id"))).alias("keep_doc_id"),
+            F.count_if(F.col("__b")).alias("batch_copies"),
+            F.min(F.when(F.col("__b"), F.col("n_chars"))).alias("n_chars"),
+            F.bool_or(~F.col("__b")).alias("__in_corpus"),
         )
+        .where((F.col("batch_copies") > 0) & ~F.col("__in_corpus"))
+        .drop("__in_corpus")
     )
 
 
