@@ -127,13 +127,21 @@ def main() -> None:
     # The 10x replica keeps AQE ON with the wider layout (32 partitions,
     # 4 MB splits): there runtime coalescing/skew handling is the point,
     # which is exactly the 100 TB configuration story.
-    def _set_profile(sh: int, split_bytes: int, aqe: bool) -> None:
+    def _set_profile(sh: int, split_bytes: int, aqe: bool, open_cost: int) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(sh))
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
 
-    BASE_PROFILE = (8, 32 * 1024 * 1024, False)
-    SCALE_PROFILE = (32, 4 * 1024 * 1024, True)
+    # Round-5 A/B over the whole headline set (min-merged of 2 full runs
+    # each, quiet box): shuffle partitions 8 -> 4 and openCostInBytes
+    # 512k -> 2m are each worth ~0.3s and compose (-0.44s total vs the
+    # 8/512k control; 4m open-cost and 2 partitions both over-shoot).
+    # Both follow the same size-to-the-data discipline: at sf0.1 a
+    # post-shuffle stage holds ~KBs per partition, so fewer+fatter tasks
+    # shed pure per-task floor; the scale profile keeps narrow splits.
+    BASE_PROFILE = (4, 32 * 1024 * 1024, False, 2 * 1024 * 1024)
+    SCALE_PROFILE = (32, 4 * 1024 * 1024, True, 512 * 1024)
     _set_profile(*BASE_PROFILE)
     specs = all_queries()
 
