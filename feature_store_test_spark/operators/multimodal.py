@@ -49,7 +49,7 @@ FRAME_SCHEMA = T.StructType(
 
 
 def python_stage_tasks(
-    df: DataFrame, bytes_per_task: int = 2 << 20
+    df: DataFrame, bytes_per_task: int = 2 << 20, min_tasks: int = 1
 ) -> int | None:
     """Task count for an Arrow/Python stage, sized to the INPUT BYTES.
 
@@ -64,6 +64,16 @@ def python_stage_tasks(
     Apply with ``coalesce`` (narrow, no shuffle): it only ever REDUCES
     partition count, so a big scan that already has more bytes per task
     than the target is untouched.
+
+    ``min_tasks``: the byte heuristic assumes the stage's per-row work
+    is modest (feature hashing, stub codecs) so the fixed cost is what
+    matters. REAL media decode expands 10-100x and is CPU-bound —
+    coalescing it to 1-2 tasks serializes seconds of numpy per task
+    (measured 0.58s -> 5.3s on the sf0.1 codec queries when this
+    heuristic first landed without the clamp). Decode call sites pass
+    ``min_tasks=defaultParallelism``: locally that keeps every core
+    decoding (coalesce caps at the existing partition count anyway);
+    at 100 TB the byte term dominates and the clamp is inert.
     """
     import os
 
@@ -80,7 +90,7 @@ def python_stage_tasks(
             return None
     if total <= 0:
         return None
-    return max(1, -(-total // bytes_per_task))
+    return max(min_tasks, -(-total // bytes_per_task))
 
 
 def blob_meta(blob: str | Column) -> Column:
@@ -167,9 +177,11 @@ def audio_features(
     from feature_store_test_spark.operators.codecs import decode_wav
 
     src = df.select(id_col, blob_col)
-    n_tasks = python_stage_tasks(df)
+    n_tasks = python_stage_tasks(
+        df, min_tasks=df.sparkSession.sparkContext.defaultParallelism
+    )
     if n_tasks is not None:
-        src = src.coalesce(n_tasks)  # see python_stage_tasks: bytes-sized
+        src = src.coalesce(n_tasks)  # bytes-sized, CPU-bound clamp
     return src.mapInPandas(
         _feature_map(decode_wav, AUDIO_FEATURE_SCHEMA, id_col, blob_col),
         AUDIO_FEATURE_SCHEMA,
@@ -185,9 +197,11 @@ def image_features(
     from feature_store_test_spark.operators.codecs import decode_image
 
     src = df.select(id_col, blob_col)
-    n_tasks = python_stage_tasks(df)
+    n_tasks = python_stage_tasks(
+        df, min_tasks=df.sparkSession.sparkContext.defaultParallelism
+    )
     if n_tasks is not None:
-        src = src.coalesce(n_tasks)  # see python_stage_tasks: bytes-sized
+        src = src.coalesce(n_tasks)  # bytes-sized, CPU-bound clamp
     return src.mapInPandas(
         _feature_map(decode_image, IMAGE_FEATURE_SCHEMA, id_col, blob_col),
         IMAGE_FEATURE_SCHEMA,
@@ -260,9 +274,14 @@ def decode_media(
             yield pd.DataFrame(out)
 
     src = df.select(id_col, blob_col)
-    n_tasks = python_stage_tasks(df)
+    n_tasks = python_stage_tasks(
+        df,
+        min_tasks=(
+            1 if fake else df.sparkSession.sparkContext.defaultParallelism
+        ),
+    )
     if n_tasks is not None:
-        src = src.coalesce(n_tasks)  # see python_stage_tasks: bytes-sized
+        src = src.coalesce(n_tasks)  # bytes-sized; real decode clamps
     return src.mapInPandas(gen, FRAME_SCHEMA)
 
 
@@ -383,9 +402,14 @@ def resize_media(
             )
 
     src = df.select(id_col, blob_col)
-    n_tasks = python_stage_tasks(df)
+    n_tasks = python_stage_tasks(
+        df,
+        min_tasks=(
+            1 if fake else df.sparkSession.sparkContext.defaultParallelism
+        ),
+    )
     if n_tasks is not None:
-        src = src.coalesce(n_tasks)  # see python_stage_tasks: bytes-sized
+        src = src.coalesce(n_tasks)  # bytes-sized; real decode clamps
     return src.mapInPandas(gen, out_schema)
 
 
@@ -418,9 +442,11 @@ def video_features(
     from feature_store_test_spark.operators.codecs import decode_video
 
     src = df.select(id_col, blob_col)
-    n_tasks = python_stage_tasks(df)
+    n_tasks = python_stage_tasks(
+        df, min_tasks=df.sparkSession.sparkContext.defaultParallelism
+    )
     if n_tasks is not None:
-        src = src.coalesce(n_tasks)  # see python_stage_tasks: bytes-sized
+        src = src.coalesce(n_tasks)  # bytes-sized, CPU-bound clamp
     return src.mapInPandas(
         _feature_map(decode_video, VIDEO_FEATURE_SCHEMA, id_col, blob_col),
         VIDEO_FEATURE_SCHEMA,

@@ -175,6 +175,18 @@ def test_q105_small_parents_broadcast_anti_joins(spark, sf_dir):
     assert "Python" not in plan
 
 
+def test_q110_fused_single_scan_no_join(spark, sf_dir):
+    """Round-5 fused incremental dedup: the batch-vs-corpus anti join is
+    folded into ONE fingerprint-keyed aggregation over ONE documents scan
+    (conditional aggregates carry the corpus-membership test) — no join
+    operator and no second scan may reappear."""
+    plan = plan_of(spark, sf_dir, "q110_incremental_dedup")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan
+    assert "Python" not in plan
+
+
 def test_q76_scans_lineitem_once(spark, sf_dir):
     """Q18-shape decorrelation: the qualifying sum IS the output sum, so
     lineitem must appear exactly once in the plan (no second shuffle +
