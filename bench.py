@@ -230,8 +230,16 @@ def main() -> None:
     # JVM still showed 2-3x one-off outliers surviving min-of-two (GC debt
     # from neighboring queries); a third run costs ~17s here and is not
     # worth it at the 10x point where queries run long enough to dominate
-    # their noise.
-    timings = time_spark(sf_dir, n_runs=3)
+    # their noise. The base-SF loop additionally runs as TWO interleaved
+    # passes min-merged per query (both engines get the same treatment,
+    # see the DuckDB loop): a multi-second load spike on a busy host hits
+    # a CONTIGUOUS block of queries inside one pass, and consecutive
+    # min-of-N cannot shed it — a second pass ~40s later samples a
+    # different time window. Same work measured, tighter minimum
+    # estimator, symmetric across engines.
+    timings = time_spark(sf_dir, n_runs=2)
+    _pass2 = time_spark(sf_dir, n_runs=2)
+    timings = {k: min(timings[k], _pass2[k]) for k in timings}
     job_counts = count_jobs(sf_dir)
 
     def time_construction(data_dir: str, n_runs: int = 2) -> dict[str, float]:
@@ -290,7 +298,11 @@ def main() -> None:
         con.close()
         return out
 
-    duck_timings = time_duckdb(sf_dir, n_runs=3)
+    duck_timings = time_duckdb(sf_dir, n_runs=2)
+    _dpass2 = time_duckdb(sf_dir, n_runs=2)
+    duck_timings = {
+        k: min(duck_timings[k], _dpass2[k]) for k in duck_timings
+    }
 
     scale10x = None
     scale_detail: dict[str, dict[str, float]] = {}
