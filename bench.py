@@ -118,8 +118,8 @@ def main() -> None:
     # (brief: size shuffle.partitions/maxPartitionBytes to the target SF).
     # At sf0.1 a post-shuffle stage holds ~KBs per partition, so 32
     # shuffle partitions mean 32 near-empty tasks per stage and the
-    # per-task floor (~4 ms here) dominates — 8 partitions and 32 MB
-    # splits measured best. AQE is OFF at the toy profile: adaptive
+    # per-task floor (~4 ms here) dominates — see BASE_PROFILE below
+    # for the measured optimum. AQE is OFF at the toy profile: adaptive
     # execution submits one scheduler job per query STAGE (so its runtime
     # stats can re-plan the next stage), and with ~60 ms per-job latency
     # in this VM that tripled the job count (286 vs 134 over the headline
