@@ -381,8 +381,23 @@ def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (ε = √(2−2t)); at this fixture's loose t = 0.25 a dense
     label stays near-quadratic — but then so does the qualifying-pair
     OUTPUT, i.e. the work is output-bound, not plan waste. SemDeDup-scale
-    thresholds (t ≥ 0.9) prune hard."""
-    from feature_store_test_spark.operators.dedup import ordered_pair_structs
+    thresholds (t ≥ 0.9) prune hard.
+
+    Components run on the COLLAPSED rep graph (round-5 rewrite): one
+    node per distinct (label, embedding) group, never the exploded id
+    graph. Correctness: a qualifying rep pair connects EVERY id of both
+    groups (identical vectors ⇒ identical similarities), and a group's
+    ids are mutually connected iff its self-cosine passes (always, for a
+    nonzero vector — only zero-vector groups fail, and those can't have
+    cross edges either since their cosine is NaN); since __rep is the
+    MIN vec_id of its group, the min-id component label equals the
+    min-rep label, so mapping ids through their rep reproduces the id-
+    graph labels exactly. Scale: the label-propagation loop now touches
+    |distinct groups| nodes instead of |ids| — on the 100x replica
+    (identical embeddings duplicated 100x) that is 2,000 nodes vs 2M,
+    and the exploded id-edge list (~50M pairs there) is never built at
+    all; at real scale the rep graph is never larger than the id graph.
+    """
     from feature_store_test_spark.operators.graph import connected_components
     from feature_store_test_spark.operators.similarity import (
         threshold_pairs_within_buckets,
@@ -393,29 +408,30 @@ def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("__rep"),
         F.array_sort(F.collect_set("vec_id")).alias("__ids"),
     ))
-    rep_pairs = threshold_pairs_within_buckets(
-        g, "label", "embedding", "__rep", 0.25, keep_cols=("__ids",),
-        scorer="arrow",
-    ).select("__ids_a", "__ids_b")
-    cross = (
-        rep_pairs.select(F.explode("__ids_a").alias("__x"), "__ids_b")
-        .select("__x", F.explode("__ids_b").alias("__y"))
+    rep_edges = threshold_pairs_within_buckets(
+        g, "label", "embedding", "__rep", 0.25, scorer="arrow",
+    ).select(F.col("ra").alias("id_a"), F.col("rb").alias("id_b"))
+    comps = connected_components(rep_edges, "id_a", "id_b")
+    # ids inherit their group's component when the group is internally
+    # connected: singletons trivially, multi-id groups iff the self-
+    # cosine passes (fails only for zero vectors, whose NaN similarity
+    # also rules out any cross edge — those ids stay their own
+    # components via the final coalesce, exactly like the oracle).
+    self_ok = (F.size("__ids") == 1) | (
+        F.round(cosine("embedding", "embedding"), 6) >= 0.25
+    )
+    id_map = (
+        g.where(self_ok)
+        .select("__rep", F.explode("__ids").alias("vec_id"))
+        .join(comps, F.col("__rep") == F.col("node"), "left")
         .select(
-            F.least("__x", "__y").alias("id_a"),
-            F.greatest("__x", "__y").alias("id_b"),
+            "vec_id",
+            F.coalesce("component", F.col("__rep")).alias("component"),
         )
     )
-    within = (
-        g.where(F.size("__ids") >= 2)
-        .where(F.round(cosine("embedding", "embedding"), 6) >= 0.25)
-        .select(F.explode(ordered_pair_structs(F.col("__ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
-    )
-    edges = cross.unionByName(within)
-    comps = connected_components(edges, "id_a", "id_b")
     return (
         emb.select("vec_id")
-        .join(comps, emb.vec_id == comps.node, "left")
+        .join(id_map, "vec_id", "left")
         .select(
             "vec_id",
             F.coalesce("component", F.col("vec_id")).alias("component"),
