@@ -593,13 +593,25 @@ def q84_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.slice(words, 1, 5))).alias("head_fp"),
         F.md5(F.concat_ws(" ", F.slice(words, -5, 5))).alias("tail_fp"),
     )
-    edges = None
-    for col in ["head_fp", "tail_fp"]:
-        a = fp.select(F.col("doc_id").alias("s"), F.col(col).alias("f"))
-        b = fp.select(F.col("doc_id").alias("d"), F.col(col).alias("f"))
-        e = a.join(b, "f").where(F.col("s") < F.col("d")).select("s", "d")
-        edges = e if edges is None else edges.union(e)
-    edges = edges.distinct()
+    # STAR edges, not clique edges: docs sharing a fingerprint all
+    # connect through the fingerprint's MIN doc id (the hub) instead of
+    # pairwise — identical connectivity (any two sharers reach each
+    # other via the hub), so identical components and identical min-id
+    # labels, but the edge list is LINEAR in (doc, fingerprint) rows
+    # where the pairwise self-join was quadratic per fingerprint group
+    # (a crawl-shaped corpus with thousands of copies of one boilerplate
+    # head would explode the clique form; the 10x replica's 3.1x wall
+    # growth was exactly this).
+    fp_long = fp.selectExpr(
+        "doc_id", "explode(array(head_fp, tail_fp)) AS f"
+    )
+    hubs = fp_long.groupBy("f").agg(F.min("doc_id").alias("s"))
+    edges = (
+        fp_long.join(hubs, "f")
+        .where(F.col("doc_id") != F.col("s"))
+        .select("s", F.col("doc_id").alias("d"))
+        .distinct()
+    )
     cc = connected_components(edges, "s", "d")
     return (
         docs.select("doc_id")
