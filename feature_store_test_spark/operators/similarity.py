@@ -33,7 +33,12 @@ def l2_norm(a: str | Column) -> Column:
 
 
 def cosine(a: str | Column, b: str | Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # nullif guards the zero-vector case: under Spark 4's default ANSI
+    # mode 0/0 raises DIVIDE_BY_ZERO instead of yielding NaN; NULL
+    # similarity fails every >= threshold filter on both engines, and
+    # (unlike NaN, which Spark orders ABOVE every number) sorts LAST in
+    # descending rankings — the sane degenerate behavior either way.
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def cosine_topk(
@@ -76,7 +81,10 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")), round_dp
+                # nullif: zero-vector guard, see cosine()
+                dot("__qv", "__cv")
+                / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
+                round_dp,
             ).alias("cos_sim"),
         )
     )
@@ -350,7 +358,10 @@ def threshold_pairs_within_buckets(
         ]
         return base.select(*cols)
 
-    sim = F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    # nullif: zero-vector guard, see cosine()
+    sim = F.round(
+        dot("va", "vb") / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)), 6
+    )
     out_cols = [
         "ra", "rb", sim.alias("cos_sim"),
         *[f"{k}_a" for k in keep], *[f"{k}_b" for k in keep],

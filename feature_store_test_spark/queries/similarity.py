@@ -134,7 +134,10 @@ def q30_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm("embedding").alias("nb"), F.col("__ids").alias("__ids_b"),
     )
     # norms per distinct vector, not per pair — same bits, 3x less fold
-    sim = F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    # (nullif: zero-vector ANSI guard, see operators/similarity.cosine)
+    sim = F.round(
+        dot("va", "vb") / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)), 6
+    )
     rep_pairs = (
         a.join(b, F.col("ra") < F.col("rb"))
         .select("__ids_a", "__ids_b", sim.alias("cos_sim"))

@@ -1,0 +1,100 @@
+"""q121's rep-graph component contract, pinned on adversarial synthetic
+data the parquet fixtures never produce.
+
+The round-5 rewrite runs connected components on one node per distinct
+(label, embedding) group and maps ids through their group rep. Its
+correctness argument has two load-bearing claims that the fixture-based
+oracle drive exercises only implicitly:
+
+1. zero-vector groups (cosine NaN) form NO edges — neither internal
+   cliques nor cross pairs — so each of their ids must stay its own
+   component even though the ids share one (label, embedding) group;
+2. min-id labels survive the collapse: the component label of every id
+   equals the min vec_id over the component of the EXPANDED id graph.
+
+Both are asserted here against a brute-force NumPy reference that builds
+the full id graph the pre-rewrite implementation used.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from feature_store_test_spark.registry import all_queries, release_caches
+
+
+def _brute_components(rows, threshold=0.25):
+    """Reference: full id-graph components via union-find over all
+    within-label pairs whose round(cosine, 6) >= threshold."""
+    parent = {r[0]: r[0] for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+
+    for (ia, la, va), (ib, lb, vb) in itertools.combinations(rows, 2):
+        if la != lb:
+            continue
+        na, nb = np.sqrt(va @ va), np.sqrt(vb @ vb)
+        if na == 0.0 or nb == 0.0:
+            continue  # NaN cosine: never an edge
+        if round(float(va @ vb / (na * nb)), 6) >= threshold:
+            union(ia, ib)
+    return {i: find(i) for i, _, _ in rows}
+
+
+@pytest.fixture()
+def adversarial_embeddings(spark, tmp_path):
+    """Labels exercising every branch: a duplicated-vector group, a
+    zero-vector group (size 3!), a singleton zero vector, cross-group
+    near-dups, and an isolated far vector."""
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    near = np.array([0.9, 0.1, 0.0, 0.0])
+    far = np.array([0.0, 0.0, 0.0, 1.0])
+    zero = np.zeros(4)
+    rows = [
+        # label 0: ids 0,1 share an identical vector (one group);
+        # id 2 is near it (cross edge); id 3 is far (isolated)
+        (0, 0, base), (1, 0, base), (2, 0, near), (3, 0, far),
+        # label 1: three ids share the ZERO vector — one group, no edges
+        (4, 1, zero), (5, 1, zero), (6, 1, zero),
+        # label 1: a normal pair that must still connect
+        (7, 1, base), (8, 1, near),
+        # label 2: singleton zero vector
+        (9, 2, zero),
+    ]
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    spark.createDataFrame(
+        [(i, int(l), [float(x) for x in v]) for i, l, v in rows],
+        "vec_id long, label int, embedding array<float>",
+    ).write.parquet(sf + "/embeddings.parquet")
+    return sf, rows
+
+
+def test_q121_matches_bruteforce_id_graph(spark, adversarial_embeddings):
+    sf, rows = adversarial_embeddings
+    expected = _brute_components(rows)
+    got = {
+        r["vec_id"]: r["component"]
+        for r in all_queries()["q121_semantic_dedup"].fn(spark, sf).collect()
+    }
+    release_caches()
+    assert got == expected
+    # the two claims, spelled out:
+    assert got[4] == 4 and got[5] == 5 and got[6] == 6  # zero group: selves
+    assert got[9] == 9                                   # zero singleton
+    assert got[0] == 0 and got[1] == 0 and got[2] == 0   # dup group + near
+    assert got[3] == 3                                   # far: isolated
+    assert got[7] == 7 and got[8] == 7                   # normal pair
