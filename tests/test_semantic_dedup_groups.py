@@ -98,3 +98,57 @@ def test_q121_matches_bruteforce_id_graph(spark, adversarial_embeddings):
     assert got[0] == 0 and got[1] == 0 and got[2] == 0   # dup group + near
     assert got[3] == 3                                   # far: isolated
     assert got[7] == 7 and got[8] == 7                   # normal pair
+
+
+def test_q84_star_edges_match_bruteforce_cliques(spark, tmp_path):
+    """q84's star edges (docs connect via their fingerprint's min-doc hub)
+    must produce the exact components of the pairwise-clique graph, on a
+    corpus with a dominant shared head (the clique-explosion shape the
+    star form exists for) and chained head/tail overlaps."""
+    docs = [
+        # one dominant head shared by 6 docs (ids 0-5), distinct tails
+        *[(i, f"aaa bbb ccc ddd eee tail{i} x y z w") for i in range(6)],
+        # chain: doc 6 shares its TAIL with doc 7's HEAD words
+        (6, "p q r s t uuu vvv www xxx yyy"),
+        (7, "uuu vvv www xxx yyy k l m n o"),
+        # isolated
+        (8, "alone words that match nothing else at all ok fin"),
+        # short doc (< 5 words): head slice == whole text
+        (9, "tiny doc here"),
+    ]
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    spark.createDataFrame(
+        [(i, t, "srcA", len(t)) for i, t in docs],
+        "doc_id long, text string, source string, n_chars long",
+    ).write.parquet(sf + "/documents.parquet")
+
+    # brute force: union-find over pairwise shared head/tail fingerprints
+    def fps(t):
+        w = t.split(" ")
+        return {" ".join(w[:5]), " ".join(w[-5:])}
+
+    parent = {i: i for i, _ in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        if fps(ta) & fps(tb):
+            ra, rb = find(ia), find(ib)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i, _ in docs}
+
+    got = {
+        r["doc_id"]: r["component"]
+        for r in all_queries()["q84_dedup_components"].fn(spark, sf).collect()
+    }
+    release_caches()
+    assert got == expected
+    assert got[0] == 0 and got[5] == 0      # dominant-head clique
+    assert got[7] == 6                       # tail->head chain
+    assert got[8] == 8 and got[9] == 9       # isolated + short doc
