@@ -4,7 +4,17 @@ The classic record-linkage / catalog-dedup primitive the exact and
 shingle families can't express: two names that differ by a typo
 (levenshtein distance <= d) are duplicates even when no shingle
 survives. Both engines ship the same Wagner-Fischer ``levenshtein`` —
-an integer, so the oracle comparison is exact by construction.
+an integer, so the oracle comparison is exact by construction — with
+one documented UNIT divergence: Spark computes edit distance over
+UTF-8 CODEPOINTS, DuckDB over BYTES (measured: levenshtein('café',
+'cafe') = 1 in Spark, 2 in DuckDB; pinned in
+tests/test_fuzzy.py::test_levenshtein_unicode_unit_divergence). The
+engine's declared semantics are Spark's codepoint distance — the
+linguistically meaningful one; the DuckDB oracle hash-matches on the
+ASCII fixtures and any ASCII corpus, and a non-ASCII catalog would
+need a byte-encoded oracle column, not a Spark-side change. The
+length-band blocking below measures length in CHARACTERS on both
+sides, which bounds codepoint distance correctly.
 
 Scale design (the similarity-join length-filter):
 * collapse to DISTINCT names first (groupBy + count) — catalog name

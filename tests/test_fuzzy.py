@@ -284,3 +284,26 @@ def test_er_dominant_cluster_resolves_like_naive_union_find(spark, tmp_path, mon
     # the hub cluster really is dominant and really resolved to one entity
     hub_canon = {c for n, c, _ in naive if lev(n, "entityhub") <= 2}
     assert len(hub_canon) == 1
+
+
+def test_levenshtein_unicode_unit_divergence(spark):
+    """Cross-engine contract boundary, pinned: Spark levenshtein counts
+    UTF-8 CODEPOINTS, DuckDB counts BYTES. They agree on ASCII (the
+    fixtures and any ASCII catalog); a non-ASCII corpus needs a
+    byte-encoded oracle column, not a Spark-side change — the engine's
+    declared semantics are the codepoint distance."""
+    import duckdb
+
+    cases = [("café", "cafe"), ("日本語", "日本"), ("ü", "u"), ("abc", "abd")]
+    spark_d = [
+        spark.sql(f"SELECT levenshtein('{a}','{b}')").collect()[0][0]
+        for a, b in cases
+    ]
+    duck_d = [
+        duckdb.sql(f"SELECT levenshtein('{a}','{b}')").fetchone()[0]
+        for a, b in cases
+    ]
+    assert spark_d == [1, 1, 1, 1]          # codepoints
+    assert duck_d == [2, 3, 2, 1]           # bytes
+    # ASCII agrees — the regime every oracle-checked query runs in
+    assert spark_d[-1] == duck_d[-1]
