@@ -1,0 +1,57 @@
+"""Degenerate-document regression net: empty text, single-word text,
+below-shingle-width text, and exact batch duplicates, run through the
+text/dedup query family.
+
+The oracle fixtures are well-formed prose, so they never exercise these
+rows; Spark 4's default ANSI mode turns several silent-NaN/NULL habits
+into runtime errors (the zero-vector cosine crash was exactly this
+class), making "doesn't crash on degenerate rows" a property worth
+pinning per family. Row counts are asserted where the semantics make
+them obvious, existence otherwise.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from feature_store_test_spark.registry import all_queries, release_caches
+
+
+@pytest.fixture()
+def degenerate_docs(spark, tmp_path):
+    rows = [
+        (0, "", "src0", 0),                      # empty text
+        (1, "one", "src0", 3),                   # single word
+        (2, "two words", "src1", 9),             # below 3-shingle width
+        (3, "a b c d e f g h i j", "src9", 19),  # normal
+        (4, "a b c d e f g h i j", "src9", 19),  # exact dup inside batch
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.parquet(sf + "/documents.parquet")
+    return sf
+
+
+QUERIES = [
+    ("q19_exact_dedup_stats", 3),     # one row per source
+    ("q20_dedup_keep_first", 4),      # 4 distinct head fingerprints
+    ("q21_minhash_near_dups", 1),     # the one identical-text pair
+    ("q22_simhash", 5),               # every doc gets a fingerprint
+    ("q26_token_counts", None),
+    ("q87_token_budget_sample", 3),   # one row per source
+    ("q110_incremental_dedup", 1),    # the deduped src9 fingerprint
+    ("q84_dedup_components", 5),      # every doc labelled
+    ("q126_span_dedup", 5),
+    ("q127_pii_redaction", 5),
+    ("q128_url_domain_stats", 5),
+    ("q102_decontamination", 0),      # nothing shares 8-grams with eval
+]
+
+
+@pytest.mark.parametrize("name,expected", QUERIES)
+def test_degenerate_docs_do_not_crash(spark, degenerate_docs, name, expected):
+    n = all_queries()[name].fn(spark, degenerate_docs).count()
+    release_caches()
+    if expected is not None:
+        assert n == expected, name
