@@ -749,8 +749,12 @@ def _ivf_fit(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # nullif: a zero vector's 0/0 normalization is a DIVIDE_BY_ZERO
+    # crash under ANSI (see cosine()); NULL-norm rows are FILTERED from
+    # the fit sample below — a zero vector has no direction to cluster.
     unit = F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+        F.col(vec_col),
+        lambda x: x.cast("double") / F.nullif(l2_norm(F.col(vec_col)), F.lit(0.0)),
     )
     # Pin the fit input's partition COMPOSITION and ORDER: k-means||'s
     # init sample depends on both, and a bare coalesce only fixes the
@@ -764,7 +768,8 @@ def _ivf_fit(
     # 32 tiny partitions). At billion-vector scale the fit input is a
     # bounded sample anyway (faiss practice, like pq_train).
     fit_df = (
-        corpus.select(
+        corpus.where(F.nullif(l2_norm(F.col(vec_col)), F.lit(0.0)).isNotNull())
+        .select(
             array_to_vector(unit).alias("__features"),
             F.xxhash64(unit).alias("__h"),
         )
@@ -999,8 +1004,12 @@ def pq_encode(
     index — deterministic.
     """
     d = len(codebooks[0][0])
+    # nullif: zero-vector ANSI guard (see cosine()); a zero vector gets a
+    # NULL unit array, NULL distances, and the deterministic first-index
+    # argmin code — present in the index, never a crash.
     unit = F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+        F.col(vec_col),
+        lambda x: x.cast("double") / F.nullif(l2_norm(F.col(vec_col)), F.lit(0.0)),
     )
     out = df.withColumn("__unit", unit)
     code_exprs = []

@@ -152,3 +152,33 @@ def test_q84_star_edges_match_bruteforce_cliques(spark, tmp_path):
     assert got[0] == 0 and got[5] == 0      # dominant-head clique
     assert got[7] == 6                       # tail->head chain
     assert got[8] == 8 and got[9] == 9       # isolated + short doc
+
+
+def test_ann_family_survives_degenerate_embeddings(spark, tmp_path):
+    """Zero vectors and mass-duplicated vectors through the trained-ANN
+    paths: IVF/PQ unit-normalization is 0/0 on a zero vector — a
+    DIVIDE_BY_ZERO crash under ANSI before the nullif guards. Zero-norm
+    rows are filtered from k-means fit samples (no direction to
+    cluster) and get NULL unit arrays at assignment (first-index argmin
+    — indexed, never a crash)."""
+    import random
+
+    random.seed(7)
+    one = [1.0] + [0.0] * 63
+    rows = [(i, [float(x) for x in one], 0) for i in range(30)]
+    rows += [(i, [0.0] * 64, 1) for i in range(30, 33)]
+    rows += [
+        (i, [random.random() for _ in range(64)], i % 3) for i in range(33, 40)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(sf + "/embeddings.parquet")
+    for name in [
+        "q28_cosine_topk", "q29_embedding_norms", "q30_embedding_near_dups",
+        "q38_lsh_ann_topk", "q43_label_centroids", "q68_ivf_trained_ann",
+        "q91_pca_ann_topk", "q103_pq_ann_topk", "q104_ivfpq_ann_topk",
+        "q121_semantic_dedup", "q123_cosine_topk_gemm",
+    ]:
+        assert all_queries()[name].fn(spark, sf).count() >= 0, name
+        release_caches()
