@@ -725,6 +725,14 @@ def _ivf_fit_sampled(
             < F.lit(bound)
         )
     X = np.asarray([r[0] for r in sampled.collect()], dtype=np.float64)
+    if X.size == 0:
+        raise ValueError(
+            "ivf_train: empty corpus sample — ANN training needs data"
+        )
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X[norms[:, 0] > 0.0]  # zero vectors have no direction to cluster
+    if len(X) == 0:
+        raise ValueError("ivf_train: corpus sample has no nonzero vectors")
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     X = X[np.lexsort(X.T[::-1])]
     rng = np.random.default_rng(seed)
@@ -777,6 +785,11 @@ def _ivf_fit(
         .sortWithinPartitions("__h")
         .select("__features")
     )
+    if fit_df.isEmpty():
+        raise ValueError(
+            "ivf_train: empty corpus sample (or all-zero vectors) — "
+            "ANN training needs data"
+        )
     model = KMeans(
         k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__features"
     ).fit(fit_df)
@@ -815,6 +828,10 @@ def _pca_fit(corpus: DataFrame, vec_col: str, k: int) -> list[list[float]]:
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("__features")
     )
+    if fit_df.isEmpty():
+        raise ValueError(
+            "pca_train: empty corpus — PCA training needs data"
+        )
     model = PCA(k=k, inputCol="__features", outputCol="__p").fit(fit_df)
     pc = model.pc.toArray()  # dim × k, column-major components
     return [[float(pc[i][j]) for i in range(pc.shape[0])] for j in range(pc.shape[1])]
@@ -947,7 +964,12 @@ def _pq_fit(
 ) -> list[list[list[float]]]:
     import numpy as np
 
-    dim = len(corpus.select(vec_col).first()[0])
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError(
+            "pq_train: empty corpus sample — ANN training needs data"
+        )
+    dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d = dim // m
@@ -957,6 +979,14 @@ def _pq_fit(
         vec_col
     ).sample(fraction=frac, seed=seed)
     X = np.array([r[0] for r in sampled.collect()], dtype=np.float64)
+    if X.size == 0:
+        raise ValueError(
+            "pq_train: empty corpus sample — ANN training needs data"
+        )
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X[norms[:, 0] > 0.0]  # zero vectors have no direction to cluster
+    if len(X) == 0:
+        raise ValueError("pq_train: corpus sample has no nonzero vectors")
     X /= np.linalg.norm(X, axis=1, keepdims=True)
 
     codebooks = []
