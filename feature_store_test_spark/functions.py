@@ -224,11 +224,15 @@ def json_number_field(col: str | F.Column, key: str) -> F.Column:
         substring_index(.., '}', 1)       -> cut at end-of-object
         try_cast(.. AS DOUBLE)            -> NULL for non-numeric values
 
-    Semantics match ``get_json_object(col, '$.<key>').cast('double')`` on
-    any flat object with numeric values (missing key -> NULL, non-numeric
-    value -> NULL); it is NOT a general JSON parser — nested objects or
-    string values containing '"<key>": ' would fool it, and callers on
-    such data must use ``get_json_object``/``variant_get``. The oracle
+    Semantics match ``get_json_object(col, '$.<key>').try_cast('double')``
+    on any flat object with numeric values (missing key -> NULL,
+    non-numeric value -> NULL; the plain ``cast`` form would RAISE under
+    ANSI on a non-numeric value — pinned in tests/test_functions.py);
+    it is NOT a general JSON parser — a NESTED object whose inner key
+    matches reads the inner field (string values cannot fool it: a
+    quote inside a valid JSON string is escaped, and the backslash
+    breaks the needle — both pinned in tests/test_functions.py), and
+    callers on nested data must use ``get_json_object``/``variant_get``. The oracle
     gate cross-checks every consumer against DuckDB's regexp/JSON
     extraction per run, so a contract violation surfaces as a hash
     mismatch, not silent corruption.

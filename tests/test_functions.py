@@ -77,3 +77,49 @@ def test_asof_tolerance_boundary_is_exact_microseconds(spark):
     }
     assert out[1] == 100.0  # gap == tolerance -> kept
     assert out[2] is None  # gap == tolerance + 1µs -> dropped
+
+
+def test_json_number_field_matches_get_json_object_on_flat_contract(spark):
+    """The codegen flat-JSON parse must agree with get_json_object on
+    every FLAT numeric-valued object shape (the events-props contract):
+    present key, missing key, non-numeric value, multiple fields, key
+    order, negative/float values, empty string/object. The documented
+    out-of-contract divergence (a STRING value containing '"k": ')
+    is pinned too, so the boundary stays explicit."""
+    from pyspark.sql import functions as F
+
+    from feature_store_test_spark.functions import json_number_field
+
+    flat = [
+        '{"k": 76}', '{"k": -3.5}', '{"j": 1, "k": 2}', '{"k": 2, "j": 1}',
+        '{"j": 9}', '{"k": "notnum"}', "", "{}", '{"k": 0}',
+    ]
+    df = spark.createDataFrame([(s,) for s in flat], "props string")
+    got = df.select(
+        json_number_field("props", "k").alias("fast"),
+        F.get_json_object("props", "$.k").try_cast("double").alias("ref"),
+    ).collect()
+    for row, s in zip(got, flat):
+        assert row["fast"] == row["ref"], (s, row["fast"], row["ref"])
+
+    # in-contract surprise, pinned: a string value CANNOT fool the
+    # parse in valid JSON — an embedded quote is escaped (\"), and the
+    # backslash breaks the '"k": ' needle
+    escaped = '{"a": "x \\"k\\": 7 y", "k": 9}'
+    row = spark.createDataFrame([(escaped,)], "props string").select(
+        json_number_field("props", "k").alias("fast"),
+        F.get_json_object("props", "$.k").try_cast("double").alias("ref"),
+    ).collect()[0]
+    assert row["fast"] == row["ref"] == 9.0
+
+    # out-of-contract: a NESTED object whose inner key matches — the
+    # locate-based parse reads the inner field (documented; callers on
+    # nested data must use get_json_object) — assert the divergence so
+    # the boundary can't go silent
+    nested = '{"a": {"k": 7}, "k": 9}'
+    row = spark.createDataFrame([(nested,)], "props string").select(
+        json_number_field("props", "k").alias("fast"),
+        F.get_json_object("props", "$.k").try_cast("double").alias("ref"),
+    ).collect()[0]
+    assert row["ref"] == 9.0
+    assert row["fast"] == 7.0
