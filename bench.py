@@ -282,17 +282,27 @@ def main() -> None:
 
     def time_duckdb(data_dir: str, n_runs: int = 2) -> dict[str, float]:
         # same min-of-N protocol as the Spark loop — single-shot DuckDB
-        # numbers absorb the same machine-level pauses
+        # numbers absorb the same machine-level pauses. Prepared-statement
+        # symmetry (r5 ADVICE): the Spark loop re-executes an already-
+        # analyzed DataFrame on runs 2+, so DuckDB likewise PREPAREs each
+        # oracle once and the timed loop EXECUTEs the prepared statement —
+        # neither engine re-pays parse inside the measured window.
         con = duckdb_connection(data_dir)
         out: dict[str, float] = {}
-        for name in HEADLINE:
+        for i, name in enumerate(HEADLINE):
             sql = specs[name].oracle
             if sql is None:
                 continue
+            stmt = f"__bench_q{i}"
+            try:
+                con.execute(f"PREPARE {stmt} AS {sql}")
+                timed_sql = f"EXECUTE {stmt}"
+            except Exception:  # statement shape PREPARE can't take
+                timed_sql = sql
             runs = []
             for _ in range(n_runs):
                 t0 = time.perf_counter()
-                con.execute(sql).fetchall()
+                con.execute(timed_sql).fetchall()
                 runs.append(time.perf_counter() - t0)
             out[name] = round(min(runs), 3)
         con.close()

@@ -219,10 +219,18 @@ def json_number_field(col: str | F.Column, key: str) -> F.Column:
     e.g. ``{"k": 76}`` — the field is recoverable with three string
     intrinsics that stay inside whole-stage codegen:
 
-        locate('"<key>": ', s)            -> 0 when the key is absent
+        locate('"<key>":', s)             -> 0 when the key is absent
         substring_index(.., ',', 1)       -> cut at the next field
         substring_index(.., '}', 1)       -> cut at end-of-object
         try_cast(.. AS DOUBLE)            -> NULL for non-numeric values
+                                             (the cast trims whitespace, so
+                                             '"k":76', '"k": 76' and
+                                             '"k":   76' all parse)
+
+    Serializations with whitespace BEFORE the colon ('"k" : 76') miss the
+    fast needle and fall through to a regexp_extract(':\\s*') fallback —
+    when() short-circuits per row in codegen, so canonical rows never pay
+    the regex and a present key is never misread as absent.
 
     Semantics match ``get_json_object(col, '$.<key>').try_cast('double')``
     on any flat object with numeric values (missing key -> NULL,
@@ -237,12 +245,25 @@ def json_number_field(col: str | F.Column, key: str) -> F.Column:
     extraction per run, so a contract violation surfaces as a hash
     mismatch, not silent corruption.
     """
+    import re as _re
+
     c = F.col(col) if isinstance(col, str) else col
-    needle = f'"{key}": '
+    # Fast path: locate the '"key":' needle (no trailing space — covers
+    # both the fixtures' '"k": 76' and minified '"k":76'; the string->
+    # double cast trims surrounding whitespace, so any run of spaces
+    # after the colon parses identically). Rows where the fast needle
+    # misses (e.g. the rare-but-valid '"k" : 76' with space BEFORE the
+    # colon) fall back to one regexp_extract — when() short-circuits per
+    # row in codegen, so the regex never runs on canonical rows and a
+    # present key can never be confused with an absent one.
+    needle = f'"{key}":'
     pos = F.locate(needle, c)
     tail = F.substring(c, pos + len(needle), F.length(c))
     body = F.substring_index(F.substring_index(tail, ",", 1), "}", 1)
-    return F.when(pos > 0, body.try_cast("double"))
+    slow = F.regexp_extract(c, f'"{_re.escape(key)}"\\s*:\\s*([^,}}]*)', 1)
+    return F.when(pos > 0, body.try_cast("double")).otherwise(
+        slow.try_cast("double")
+    )
 
 
 def md5_bucket(key: str | F.Column, n_hex: int = 2) -> F.Column:

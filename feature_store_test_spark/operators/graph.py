@@ -54,7 +54,11 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # decimal(38,0) sum: a web-scale BIGINT id domain would overflow a
+    # BIGINT sum mid-loop (a crash under Spark 4 ANSI, silent wrap before)
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).collect()[0][0]
+    converged = False
 
     for _ in range(max_iter):
         nbr_min = (
@@ -77,10 +81,21 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = labels.agg(label_sum).collect()[0][0]
         if cur_sum == prev_sum:  # monotone ⇒ equal sum ⇔ fixpoint
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Unconverged labels are silently-wrong component ids (nodes further
+        # than max_iter hops from their component's min keep a stale label).
+        # Dedup graphs are short-diameter so hitting this means the input is
+        # not the graph the caller thought — fail loudly, never return it.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds max_iter); raise max_iter or use a "
+            "star-contraction variant for long-chain graphs"
+        )
     # NOTE on lifetime: localCheckpoint persists at the RDD level, where
     # DataFrame.unpersist() cannot reach (it only talks to the SQL cache
     # manager) — the K round checkpoints live in block storage until the

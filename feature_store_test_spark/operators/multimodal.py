@@ -76,6 +76,7 @@ def python_stage_tasks(
     at 100 TB the byte term dominates and the clamp is inert.
     """
     import os
+    from urllib.parse import unquote, urlparse
 
     try:
         files = df.inputFiles()
@@ -83,7 +84,16 @@ def python_stage_tasks(
         return None
     total = 0
     for f in files:
-        path = f[len("file:") :] if f.startswith("file:") else f
+        # inputFiles() returns URIs — percent-encoded (spaces, non-ASCII)
+        # and scheme-prefixed. urlparse strips any scheme (bare paths pass
+        # through: empty scheme, path unchanged) and unquote restores the
+        # real filesystem bytes; without it a ' ' in a path made getsize
+        # fail and silently disabled task sizing (r5 ADVICE). Bytes are
+        # summed across ALL sources of a multi-source plan on purpose:
+        # the Python stage consumes the union, so total input bytes is
+        # the quantity the task count should track.
+        parsed = urlparse(f)
+        path = unquote(parsed.path) if parsed.scheme else f
         try:
             total += os.path.getsize(path)
         except OSError:

@@ -311,6 +311,12 @@ def q73_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.crossJoin(F.broadcast(threshold))
         .where(F.col("part_value") > F.col("thresh"))
         .select("l_partkey", "part_value")
+        # Bounded at ANY scale factor by arithmetic, not by fixture size:
+        # each surviving part holds > 0.2% of the slice total, so at most
+        # floor(1/0.002) = 500 rows can qualify no matter how large the
+        # fact tables grow — the report_sort single-task sort is the
+        # honest 100 TB plan here (vs TPC-H Q11's 0.0001/SF fraction,
+        # which is what makes the ORIGINAL query's output SF-constant).
         .repartition(1).sortWithinPartitions(F.col("part_value").desc(), "l_partkey")
     )
 
@@ -465,7 +471,11 @@ def q76_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
         )
-        .repartition(1).sortWithinPartitions(F.col("o_totalprice").desc(), "o_orderkey")
+        # Qualifying orders are a fixed FRACTION of all orders (~0.004%),
+        # so the output grows linearly with the fact tables — fact-sized
+        # sorted outputs must pay the range sort (report_sort's own rule);
+        # a single-task sort here would serialize/OOM at large SF.
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
 
 

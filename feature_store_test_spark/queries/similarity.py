@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table_spread as load_table
-from feature_store_test_spark.operators.similarity import cosine, cosine_topk, l2_norm
+from feature_store_test_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    cosine_topk_arrow,
+    l2_norm,
+)
 from feature_store_test_spark.registry import managed_cache, register
 
 
@@ -44,8 +49,12 @@ from feature_store_test_spark.registry import managed_cache, register
     tags=("similarity", "window", "join"),
 )
 def q28_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GEMM scorer (cosine_topk_arrow): pinned result-identical to the
+    # interpreted fold form (tests/test_similarity.py) and ~5-9x faster on
+    # corpus scans — the fold form stays the semantics exemplar for small
+    # request paths; the brute-force BASELINE must be the BLAS shape.
     emb = load_table(spark, "embeddings", sf_dir)
-    return cosine_topk(
+    return cosine_topk_arrow(
         corpus=emb,
         queries=emb.where(F.col("vec_id") < 20),
         id_col="vec_id",

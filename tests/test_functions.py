@@ -93,6 +93,11 @@ def test_json_number_field_matches_get_json_object_on_flat_contract(spark):
     flat = [
         '{"k": 76}', '{"k": -3.5}', '{"j": 1, "k": 2}', '{"k": 2, "j": 1}',
         '{"j": 9}', '{"k": "notnum"}', "", "{}", '{"k": 0}',
+        # whitespace-variant serializations of the SAME flat object (r5
+        # ADVICE): minified, multi-space, and space-before-colon all
+        # parse — a present key is never misread as absent
+        '{"k":76}', '{"k":   76}', '{"k" : 76}', '{"j":1,"k":2}',
+        '{"k" :76, "j": 1}',
     ]
     df = spark.createDataFrame([(s,) for s in flat], "props string")
     got = df.select(

@@ -292,6 +292,27 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_nonconvergence_is_loud(spark):
+    """A path graph whose diameter exceeds max_iter must RAISE, never
+    silently return stale (wrong) component labels (VERDICT r5 item 3)."""
+    import pytest
+
+    from feature_store_test_spark.operators.graph import connected_components
+
+    # path 0-1-2-...-8: diameter 8, needs ~8 propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    # and with enough rounds the same graph converges to component 0
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, max_iter=20).collect()
+    }
+    assert got == {i: 0 for i in range(9)}
+
+
 def test_q84_families_are_transitive(spark, sf_dir):
     """Every doc gets a component; at least one family has >1 member; and
     the component id is always the family's min doc_id."""
