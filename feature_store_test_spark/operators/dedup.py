@@ -80,6 +80,42 @@ def shingle_array(
     )
 
 
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out: str = "shingle"
+) -> DataFrame:
+    """NON-distinct n-word shingles as rows — the SIGNATURE-side feed.
+
+    Min-aggregation is duplicate-insensitive (min over a multiset equals
+    min over its support), so the per-doc ``array_distinct`` pass is
+    skipped, and exploding the position sequence keeps every per-shingle
+    operation — the window concat, the md5, the k substring windows, the
+    min aggregation — inside WHOLE-STAGE CODEGEN: GenerateExec
+    participates in codegen, so ``__w`` stays a loop-local variable (never
+    copied per output row) and no interpreted higher-order lambda runs.
+
+    WHEN TO USE: per-doc shingle counts too large to sit in one array
+    cell (unbounded document sizes — the module docstring's EXPLODE-form
+    criterion); feed the result to ``minhash_signatures``. At bench scale
+    (50-shingle docs) the interpreted array form measured FASTER end to
+    end — string allocation dominates either way and the row form adds a
+    generate + partial-agg shuffle (round-6 A/B, two full-harness runs;
+    see minhash_near_dups) — so bounded-doc pipelines keep the array form.
+
+    Docs shorter than n words are dropped, like ``shingle_array``.
+    """
+    shingle = " || ' ' || ".join(f"__w[__i + {j}]" for j in range(n))
+    return (
+        df.selectExpr(f"`{id_col}`", f"split(`{text_col}`, ' ') AS __w")
+        .where(f"size(__w) >= {n}")
+        .selectExpr(
+            f"`{id_col}`",
+            "__w",
+            f"explode(sequence(0, size(__w) - {n})) AS __i",
+        )
+        .selectExpr(f"`{id_col}`", f"{shingle} AS `{out}`")
+    )
+
+
 def minhash_signatures_arrays(
     arr_df: DataFrame,
     id_col: str,
@@ -206,7 +242,11 @@ def word_shingles(
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str, shingle_col: str = "shingle", k: int = 8
+    shingles: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingle",
+    k: int = 8,
+    family: str = "md5",
 ) -> DataFrame:
     """Wide k-column minhash signature per doc: (id, mh0..mh{k-1}).
 
@@ -225,7 +265,25 @@ def minhash_signatures(
     with a second engine stops mattering). One groupBy(doc) with map-side
     partial min; no row blowup. Falls back to per-seed salted md5 when
     k > 32 (not enough distinct window offsets).
+
+    ``family="xxhash64"``: member s = MIN over ``xxhash64(shingle, s)``
+    longs — same non-portable scale family as
+    ``minhash_signatures_arrays``; signatures are longs, not hex windows.
+
+    This row form runs every per-shingle op (md5/xxhash64, windows, min)
+    in WHOLE-STAGE CODEGEN — pair it with ``shingle_rows`` for documents
+    too large to hold their shingle set in one array cell; see
+    ``shingle_rows`` for when the array form wins instead.
     """
+    if family == "xxhash64":
+        return shingles.groupBy(id_col).agg(
+            *[
+                F.min(F.xxhash64(F.col(shingle_col), F.lit(s))).alias(f"mh{s}")
+                for s in range(k)
+            ]
+        )
+    if family != "md5":
+        raise ValueError(f"unknown minhash family {family!r}")
     if k > 32:
         aggs = [
             F.min(
@@ -570,6 +628,16 @@ def minhash_near_dups(
         # pipeline shrinks materially (see has_duplicate_sets docstring)
         collapse = has_duplicate_sets(arr0, id_col, "shingles", min_frac=0.05)
     if not collapse:
+        # Direct path: one cached array table feeds signatures + verify.
+        # Round-6 A/B note (two full-harness min-merged runs each): BOTH
+        # explode-based alternatives measured SLOWER than this interpreted
+        # array chain at sf0.1 — (a) pure-codegen row signatures with
+        # candidate-only verify arrays (+0.23: the extra semi-join/
+        # broadcast stages cost more scheduler floor than codegen saves),
+        # (b) signatures via explode-of-the-cache into the codegen row agg
+        # (+0.08: the generate + partial-agg shuffle cancels the window-
+        # transform win; the shingle projection, not the windows, is the
+        # family's real cost). Don't re-run those experiments.
         arr = arr0.select(
             F.col(id_col),
             F.col("shingles"),

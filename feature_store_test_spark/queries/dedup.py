@@ -799,7 +799,10 @@ def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     else:
         base = arr0
     # exact side intersects xxhash64 arrays, not strings — same trade as
-    # minhash_near_dups (narrower pair rows under high candidate density)
+    # minhash_near_dups (narrower pair rows under high candidate density).
+    # Signature build stays the interpreted ARRAY form on purpose — see
+    # the round-6 A/B note in minhash_near_dups (both explode-based
+    # rewrites measured slower at sf0.1; don't re-run).
     arr = base.select(
         "doc_id",
         "shingles",

@@ -416,15 +416,18 @@ def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     long_docs = docs.where(F.size("toks") >= 8)
 
     def grams_of(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 7),
-                    lambda i: F.array_join(F.slice("toks", i, 8), " "),
-                )
-            ).alias("gram"),
-        )
+        # codegen 8-gram rows (shingle_rows precedent): explode the START
+        # POSITIONS and build the gram by direct ||-concatenation — the
+        # whole chain (generate, concat, the downstream hash join + agg)
+        # stays in whole-stage codegen, where the previous
+        # explode(transform(..., array_join(slice(...)))) evaluated an
+        # interpreted lambda + a sub-array allocation per gram. toks[j]
+        # is 0-based, so starts run 0..size-8 (same grams as the oracle's
+        # 1-based toks[i:i+7], i in 1..len-7).
+        gram = " || ' ' || ".join(f"toks[__i + {j}]" for j in range(8))
+        return df.selectExpr(
+            "doc_id", "toks", "explode(sequence(0, size(toks) - 8)) AS __i"
+        ).selectExpr("doc_id", f"{gram} AS gram")
 
     eval_grams = (
         grams_of(long_docs.where(F.col("doc_id") % 97 == 0))

@@ -589,11 +589,17 @@ def q78_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The correlated EXISTS / NOT EXISTS decompose into per-order counts:
     # "another supplier exists" = order has >= 2 distinct suppliers;
     # "no other late supplier" = the order's late-supplier count is exactly
-    # 1 (the row's own). Both come from a window over l_orderkey — the SAME
-    # partitioning the join+agg already produced, so the whole query is ONE
-    # hash shuffle plus a broadcast, vs semi+anti self-joins that re-shuffle
-    # the flag table twice (and needed a cache to avoid recomputing it).
-    # The semi/anti join forms stay exercised by q06/q07/q69/q76/q77.
+    # 1 (the row's own). Round 6: those counts come from a SECOND hash
+    # aggregation on l_orderkey (not a window) — the SHJ output is already
+    # hash-partitioned by orderkey, which satisfies BOTH groupBys'
+    # clustering, so the whole query is ONE shuffle, two pipelined hash
+    # aggs, and a broadcast, with NO sort anywhere: when the order's late
+    # count is exactly 1, the qualifying supplier is recoverable inside
+    # the same agg as max(when(late, suppkey)) — no rejoin against the
+    # flag table, where the window form paid a full sort of the flag rows
+    # (A/B at sf0.1: 0.634s -> 0.354s, min-merged two-run protocol).
+    # The semi/anti join forms stay exercised by q06/q07/q69/q76/q77;
+    # window-over-agg stays exercised by q106/q109.
     flagged = (
         # shuffle_hash: build the filtered two-column orders side per
         # partition, stream lineitem — skips both SMJ sorts (PK build,
@@ -606,16 +612,17 @@ def q78_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late")
         )
     )
-    w = Window.partitionBy("l_orderkey")
-    return (
-        flagged.select(
-            "l_suppkey",
-            "late",
-            F.count(F.lit(1)).over(w).alias("n_supp"),
-            F.sum(F.col("late").cast("int")).over(w).alias("n_late"),
+    lonely = (
+        flagged.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.count_if("late").alias("n_late"),
+            F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("l_suppkey"),
         )
-        .where(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        lonely.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .repartition(1).sortWithinPartitions(F.col("numwait").desc(), "s_name")

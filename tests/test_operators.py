@@ -367,6 +367,43 @@ def test_freq_items_superset_of_exact_heavy_hitters(spark, sf_dir):
     assert exact <= approx
 
 
+def test_shingle_rows_signature_lockstep_with_array_form(spark, sf_dir):
+    """The EXPLODE-form signature path (shingle_rows + minhash_signatures
+    — the unbounded-document-size variant) must produce bit-identical
+    signatures to the array form for BOTH hash families: same docs kept
+    (>= n words), same md5-window / seeded-xxhash64 mins, duplicates in
+    the non-distinct row stream never move a min."""
+    from feature_store_test_spark.data import load_table
+    from feature_store_test_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_arrays,
+        shingle_array,
+        shingle_rows,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    for family in ("md5", "xxhash64"):
+        via_rows = {
+            r["doc_id"]: tuple(r[f"mh{s}"] for s in range(8))
+            for r in minhash_signatures(
+                shingle_rows(docs, "doc_id", "text", n=3),
+                "doc_id",
+                k=8,
+                family=family,
+            ).collect()
+        }
+        via_arrays = {
+            r["doc_id"]: tuple(r[f"mh{s}"] for s in range(8))
+            for r in minhash_signatures_arrays(
+                shingle_array(docs, "doc_id", "text", n=3),
+                "doc_id",
+                k=8,
+                family=family,
+            ).collect()
+        }
+        assert via_rows == via_arrays and len(via_rows) > 0, family
+
+
 def test_minhash_xxhash64_family_agrees(spark, sf_dir):
     """The xxhash64 signature family (the documented non-portable scale
     swap) must behave like the md5 family: exact verification makes any
