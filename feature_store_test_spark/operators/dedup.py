@@ -116,6 +116,74 @@ def shingle_rows(
     )
 
 
+def shingle_digest_array(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out: str = "hs"
+) -> DataFrame:
+    """Distinct md5 DIGESTS of the n-word shingles, one array per doc —
+    the fused md5-family feed (round-6 A/B: 0.55 -> 0.45 on the q21
+    pipeline at sf0.1, interleaved min-of-6).
+
+    Fuses what the string form ran as four interpreted array passes
+    (shingle concat, array_distinct on strings, per-element xxhash64
+    fingerprints, per-element md5) into two (md5 INSIDE the shingle
+    transform, distinct on digests): the shingle string is hashed the
+    moment it is built and never materialized into an array, and the
+    digest array serves BOTH downstream consumers — signature windows
+    (identical bits to hashing the distinct strings: min over a multiset
+    equals min over its support, and md5-before-distinct preserves the
+    support) and exact-Jaccard verification (digest-set intersection ==
+    shingle-set intersection up to a 128-bit collision INSIDE one pair's
+    union, P < 10^-34 at bench shingle counts — strictly stronger than
+    the 64-bit xxhash64 fingerprints the verify side already used).
+    The engine-portability contract is unchanged: md5(shingle) is exactly
+    what the oracle computes.
+
+    Docs shorter than n words are dropped, like ``shingle_array``.
+    """
+    shingle = " || ' ' || ".join(f"__w[i + {j}]" for j in range(n))
+    return (
+        df.selectExpr(f"`{id_col}`", f"split(`{text_col}`, ' ') AS __w")
+        .where(f"size(__w) >= {n}")
+        .selectExpr(
+            f"`{id_col}`",
+            f"array_distinct(transform(sequence(0, size(__w) - {n}), "
+            f"i -> md5({shingle}))) AS `{out}`",
+        )
+    )
+
+
+def minhash_signatures_digests(
+    harr: DataFrame,
+    id_col: str,
+    digest_col: str = "hs",
+    k: int = 8,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """k min-window signature columns from an md5-DIGEST array
+    (``shingle_digest_array`` output): same window family as
+    ``minhash_signatures_arrays`` — member s = lexicographic MIN over the
+    15-hex window at offset ``s * (32 // k)`` of the self-concatenated
+    digest — minus the per-element md5 pass (the digests already exist).
+    """
+    if k > 32:
+        raise ValueError("digest window family supports k <= 32")
+    step = 32 // k
+    keep = keep_cols or []
+    h2 = harr.selectExpr(
+        f"`{id_col}`",
+        *[f"`{c}`" for c in keep],
+        f"transform(`{digest_col}`, h -> concat(h, h)) AS __h2a",
+    )
+    return h2.selectExpr(
+        f"`{id_col}`",
+        *[f"`{c}`" for c in keep],
+        *[
+            f"array_min(transform(__h2a, h -> substring(h, {step * s + 1}, 15))) AS mh{s}"
+            for s in range(k)
+        ],
+    )
+
+
 def minhash_signatures_arrays(
     arr_df: DataFrame,
     id_col: str,
@@ -586,14 +654,17 @@ def minhash_near_dups(
     unbounded individual document sizes, compose the EXPLODE-form
     primitives instead.
 
-    Verification intersects xxhash64 arrays, not shingle strings: when
-    candidate density is high (a corpus full of true near-dups — the 10x
-    replica by construction) the verify joins shuffle pair rows carrying
-    both docs' arrays, and 8-byte longs cut that payload ~2.5x vs ~20-byte
-    strings — measured 2x faster and far lower variance at 10x. A pair's
-    Jaccard differs from string equality only on a 64-bit collision
-    inside that pair's union (P ≈ 100²/2⁶⁵ ≈ 3e-16 per pair) — the
-    standard fingerprint-equality trade every at-scale dedup makes.
+    Verification intersects HASH arrays, not shingle strings: md5-family
+    pipelines intersect the 32-hex digest arrays the signatures already
+    derive from (one fused projection serves both consumers — see
+    shingle_digest_array), the xxhash64 family intersects 8-byte long
+    fingerprints. Either way a pair's Jaccard differs from string
+    equality only on a hash collision inside that pair's union (128-bit:
+    P < 10^-34; 64-bit: P ≈ 100²/2⁶⁵ ≈ 3e-16) — the standard
+    fingerprint-equality trade every at-scale dedup makes. When candidate
+    density is high (the 10x replica) the verify joins shuffle pair rows
+    carrying both docs' arrays; hash arrays cut that payload vs raw
+    shingle strings.
 
     EXACT-COLLAPSE FIRST (the production ordering: exact dedup before
     near-dedup): the expensive stages — shingling, signatures, banding,
@@ -614,7 +685,25 @@ def minhash_near_dups(
     """
     from pyspark import StorageLevel
 
-    arr0 = shingle_array(df, id_col, text_col, n=n)
+    # md5 family (round 6): the FUSED digest pipeline — md5 evaluated
+    # inside the shingle transform, distinct + exact-verify on the digest
+    # arrays (see shingle_digest_array; interleaved A/B 0.55 -> 0.45 at
+    # sf0.1). xxhash64 family keeps the string-shingle table (its hashes
+    # are seeded per signature member, so no shared digest exists to
+    # fuse). Round-6 A/B note (two full-harness min-merged runs each):
+    # both EXPLODE-based signature rewrites measured SLOWER than the
+    # interpreted array chains — (a) pure-codegen row signatures with
+    # candidate-only verify arrays (+0.23: extra semi-join/broadcast
+    # stages cost more scheduler floor than codegen saves), (b)
+    # signatures via explode-of-the-cache into the codegen row agg
+    # (+0.08: the generate + partial-agg shuffle cancels the window-
+    # transform win). Don't re-run those experiments.
+    if family == "md5":
+        arr0 = shingle_digest_array(df, id_col, text_col, n=n)
+        arr_col = "hs"
+    else:
+        arr0 = shingle_array(df, id_col, text_col, n=n)
+        arr_col = "shingles"
     # adaptive collapse (``collapse=None``): probe once per input identity
     # whether duplicate shingle-sets exist; without them the collapsed and
     # direct pipelines are identical row-for-row, so take the direct form
@@ -626,56 +715,59 @@ def minhash_near_dups(
     if collapse is None:
         # cost-based crossover: the group-map stages only pay off when the
         # pipeline shrinks materially (see has_duplicate_sets docstring)
-        collapse = has_duplicate_sets(arr0, id_col, "shingles", min_frac=0.05)
+        collapse = has_duplicate_sets(arr0, id_col, arr_col, min_frac=0.05)
+
+    def with_fingerprints(base: DataFrame) -> tuple[DataFrame, str]:
+        """(verify table, verify column) per family: digests ARE the
+        fingerprints; string shingles get the xxhash64 long projection."""
+        if family == "md5":
+            return base, "hs"
+        return (
+            base.select(
+                F.col(id_col),
+                F.col("shingles"),
+                F.transform("shingles", lambda x: F.xxhash64(x)).alias("__sh64"),
+            ),
+            "__sh64",
+        )
+
+    def signatures_of(arr: DataFrame) -> DataFrame:
+        if family == "md5":
+            return minhash_signatures_digests(arr, id_col, "hs", k=k)
+        return minhash_signatures_arrays(arr, id_col, k=k, family=family)
+
     if not collapse:
         # Direct path: one cached array table feeds signatures + verify.
-        # Round-6 A/B note (two full-harness min-merged runs each): BOTH
-        # explode-based alternatives measured SLOWER than this interpreted
-        # array chain at sf0.1 — (a) pure-codegen row signatures with
-        # candidate-only verify arrays (+0.23: the extra semi-join/
-        # broadcast stages cost more scheduler floor than codegen saves),
-        # (b) signatures via explode-of-the-cache into the codegen row agg
-        # (+0.08: the generate + partial-agg shuffle cancels the window-
-        # transform win; the shingle projection, not the windows, is the
-        # family's real cost). Don't re-run those experiments.
-        arr = arr0.select(
-            F.col(id_col),
-            F.col("shingles"),
-            F.transform("shingles", lambda x: F.xxhash64(x)).alias("__sh64"),
-        )
+        arr, verify_col = with_fingerprints(arr0)
         if cache_shingles:
             arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
-        sigs = minhash_signatures_arrays(arr, id_col, k=k, family=family)
+        sigs = signatures_of(arr)
         pairs = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands)
         return jaccard_verify_arrays(
-            arr, pairs, id_col, arr_col="__sh64", threshold=threshold
+            arr, pairs, id_col, arr_col=verify_col, threshold=threshold
         )
     if cache_shingles:
         # collapsed path: arr0 feeds both exact_collapse consumers (the
         # group aggregation and the rep semi join) — one persist each for
         # arr0 / groups / the rep-only arr, no table cached twice
         arr0 = arr0.persist(StorageLevel.MEMORY_AND_DISK)
-    groups, reps = exact_collapse(arr0, id_col, "shingles")
+    groups, reps = exact_collapse(arr0, id_col, arr_col)
     if cache_shingles:
         # the group map feeds the rep semi join, both expansion sides and
         # the within-group explode — persist the (tiny) table or each
         # consumer re-runs its aggregation
         groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
-    # the expensive projections — per-shingle md5 signatures and the
-    # xxhash64 verify fingerprints — run on representatives only; arr
-    # feeds three consumers (signatures + both verify sides), so persist
-    # it too when caching is on
-    arr = reps.select(
-        F.col(id_col),
-        F.col("shingles"),
-        F.transform("shingles", lambda x: F.xxhash64(x)).alias("__sh64"),
-    )
+    # the expensive projections — signature windows and (xxhash64 family
+    # only) verify fingerprints — run on representatives only; arr feeds
+    # three consumers (signatures + both verify sides), so persist it too
+    # when caching is on
+    arr, verify_col = with_fingerprints(reps)
     if cache_shingles:
         arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures_arrays(arr, id_col, k=k, family=family)
+    sigs = signatures_of(arr)
     pairs = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands)
     rep_pairs = jaccard_verify_arrays(
-        arr, pairs, id_col, arr_col="__sh64", threshold=threshold
+        arr, pairs, id_col, arr_col=verify_col, threshold=threshold
     )
     # expand rep-level results back to original ids: cross-group pairs
     # inherit the verified rep Jaccard; within-group pairs are exact

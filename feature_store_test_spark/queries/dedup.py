@@ -18,8 +18,8 @@ from feature_store_test_spark.operators.dedup import (
     expand_rep_pairs,
     lsh_candidate_pairs,
     minhash_near_dups,
-    minhash_signatures_arrays,
-    shingle_array,
+    minhash_signatures_digests,
+    shingle_digest_array,
     within_group_pairs,
 )
 from feature_store_test_spark.registry import managed_cache, register
@@ -789,37 +789,34 @@ def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     # threshold the direct pipeline (identical rows, ~10 fewer stage-jobs)
     # wins; dup docs it still meets produce their (1, 1, 0) rows through
     # the ordinary candidate path.
-    arr0 = shingle_array(docs, "doc_id", "text", n=3)
-    collapse = has_duplicate_sets(arr0, "doc_id", "shingles", min_frac=0.05)
+    # FUSED digest pipeline (operators/dedup.shingle_digest_array): md5
+    # evaluated inside the shingle transform; the distinct digest arrays
+    # feed the signature windows AND the exact-Jaccard intersection —
+    # digest-set intersection == shingle-set intersection up to a 128-bit
+    # collision inside one pair's union, the same (stronger) trade as the
+    # xxhash64 fingerprints this used before. Signature bits unchanged:
+    # the oracle's `hashed` CTE computes exactly md5(shingle).
+    arr0 = shingle_digest_array(docs, "doc_id", "text", n=3)
+    collapse = has_duplicate_sets(arr0, "doc_id", "hs", min_frac=0.05)
     if collapse:
         arr0 = arr0.persist(StorageLevel.MEMORY_AND_DISK)
-        groups, reps = exact_collapse(arr0, "doc_id", "shingles")
+        groups, reps = exact_collapse(arr0, "doc_id", "hs")
         groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
         base = reps
     else:
         base = arr0
-    # exact side intersects xxhash64 arrays, not strings — same trade as
-    # minhash_near_dups (narrower pair rows under high candidate density).
-    # Signature build stays the interpreted ARRAY form on purpose — see
-    # the round-6 A/B note in minhash_near_dups (both explode-based
-    # rewrites measured slower at sf0.1; don't re-run).
-    arr = base.select(
-        "doc_id",
-        "shingles",
-        F.transform("shingles", lambda x: F.xxhash64(x)).alias("__sh64"),
-    )
-    sigs = minhash_signatures_arrays(
-        arr, "doc_id", k=k, keep_cols=["__sh64"]
+    sigs = minhash_signatures_digests(
+        base, "doc_id", "hs", k=k, keep_cols=["hs"]
     ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=k, bands=_MINHASH_BANDS)
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),
-        F.col("__sh64").alias("arr_a"),
+        F.col("hs").alias("arr_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)],
     )
     sb = sigs.select(
         F.col("doc_id").alias("id_b"),
-        F.col("__sh64").alias("arr_b"),
+        F.col("hs").alias("arr_b"),
         *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)],
     )
     agree = sum(

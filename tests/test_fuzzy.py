@@ -307,3 +307,113 @@ def test_levenshtein_unicode_unit_divergence(spark):
     assert duck_d == [2, 3, 2, 1]           # bytes
     # ASCII agrees — the regime every oracle-checked query runs in
     assert spark_d[-1] == duck_d[-1]
+
+
+def test_q139_q147_non_ascii_oracle_parity_via_codepoint_map(
+    spark, tmp_path, monkeypatch
+):
+    """Round-6 (VERDICT item 5): the fuzzy family oracle-checked on a
+    NON-ASCII catalog, not just documented. DuckDB's levenshtein counts
+    BYTES; the declared engine semantics are CODEPOINTS. Edit distance
+    depends only on the symbol-equality pattern, so any injective
+    per-codepoint map preserves it — the oracle maps every distinct
+    codepoint to one single-byte symbol, computes byte-levenshtein over
+    the mapped strings (== codepoint distance over the originals), and
+    the result sets must match exactly. This is the byte-encoded-oracle
+    recipe a multilingual catalog deployment would add to the gate."""
+    import duckdb
+
+    import feature_store_test_spark.queries.fuzzy as FZ
+    from feature_store_test_spark.queries.fuzzy import (
+        _MAX_DIST,
+        q139_fuzzy_name_match,
+        q147_entity_resolution,
+    )
+
+    names = [
+        "café", "cafe", "caffé", "münchen", "munchen", "müncheñ",
+        "日本語データ", "日本語データス", "日本データ",
+        "tokyo", "tokyô", "zürich", "crème brûlée", "creme brulee",
+    ]
+    rows = [(n,) for i, n in enumerate(names) for _ in range(1 + i % 3)]
+    pdir = str(tmp_path / "part.parquet")
+    spark.createDataFrame(rows, "p_name string").write.parquet(pdir)
+    orig = FZ.load_table
+    monkeypatch.setattr(
+        FZ,
+        "load_table",
+        lambda s, name, dd, _o=orig: (
+            s.read.parquet(pdir) if name == "part" else _o(s, name, dd)
+        ),
+    )
+
+    # injective codepoint -> single-byte symbol map (printable ASCII)
+    alphabet = sorted({c for n in names for c in n})
+    assert len(alphabet) <= 90
+    sub = {c: chr(33 + i) for i, c in enumerate(alphabet)}
+    mapped = {n: "".join(sub[c] for c in n) for n in names}
+    inv = {m: n for n, m in mapped.items()}
+    assert len(inv) == len(set(names))  # injective on the vocabulary
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vocab (p_name VARCHAR, mapped VARCHAR, cnt BIGINT)")
+    from collections import Counter
+
+    cnt = Counter(n for (n,) in rows)
+    for n in sorted(cnt):
+        con.execute("INSERT INTO vocab VALUES (?, ?, ?)", [n, mapped[n], cnt[n]])
+
+    # --- q139: pair list with codepoint distances ---
+    got_139 = {
+        (r.name_a, r.name_b, r.dist, r.n_affected)
+        for r in q139_fuzzy_name_match(spark, str(tmp_path)).collect()
+    }
+    # length() must count CODEPOINTS for the band too — the mapped column
+    # gives DuckDB both codepoint lengths and codepoint distances
+    want_139 = {
+        (inv[a], inv[b], d, na)
+        for a, b, d, na in con.execute(f"""
+            SELECT a.mapped, b.mapped,
+                   levenshtein(a.mapped, b.mapped), a.cnt + b.cnt
+            FROM vocab a JOIN vocab b
+              ON (length(a.mapped) < length(b.mapped)
+                  AND length(b.mapped) <= length(a.mapped) + {_MAX_DIST})
+              OR (length(a.mapped) = length(b.mapped) AND a.p_name < b.p_name)
+            WHERE levenshtein(a.mapped, b.mapped) <= {_MAX_DIST}
+        """).fetchall()
+    }
+    assert got_139 == want_139 and len(got_139) > 0
+    # the non-ASCII rows really exercise the divergence: at least one pair
+    # differs under BYTE distance (DuckDB raw) vs codepoint distance
+    raw_byte_pairs = {
+        (a, b)
+        for a, b in con.execute(f"""
+            SELECT a.p_name, b.p_name FROM vocab a JOIN vocab b
+            ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= {_MAX_DIST}
+              AND abs(length(a.p_name) - length(b.p_name)) <= {_MAX_DIST}
+        """).fetchall()
+    }
+    codepoint_pairs = {tuple(sorted((x, y))) for x, y, _, _ in got_139}
+    assert codepoint_pairs - raw_byte_pairs, "fixture must expose the unit divergence"
+
+    # --- q147: canonical entities over the same edge definition ---
+    got_147 = {
+        (r.p_name, r.canonical_name, r.n_rows)
+        for r in q147_entity_resolution(spark, str(tmp_path)).collect()
+    }
+    # oracle: union-find over the mapped-levenshtein edges
+    parent = {n: n for n in sorted(cnt)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _, _ in sorted(want_139):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_147 = {(n, find(n), cnt[n]) for n in cnt}
+    assert got_147 == want_147
