@@ -282,27 +282,29 @@ def main() -> None:
 
     def time_duckdb(data_dir: str, n_runs: int = 2) -> dict[str, float]:
         # same min-of-N protocol as the Spark loop — single-shot DuckDB
-        # numbers absorb the same machine-level pauses. Prepared-statement
-        # symmetry (r5 ADVICE): the Spark loop re-executes an already-
-        # analyzed DataFrame on runs 2+, so DuckDB likewise PREPAREs each
-        # oracle once and the timed loop EXECUTEs the prepared statement —
-        # neither engine re-pays parse inside the measured window.
+        # numbers absorb the same machine-level pauses.
+        #
+        # KNOWN RESIDUAL ASYMMETRY (r5 ADVICE, resolved by documentation):
+        # the Spark loop re-executes an already-analyzed DataFrame on runs
+        # 2+, while this loop re-executes raw SQL each run, re-paying
+        # DuckDB's parse+bind (sub-ms per statement; Spark's analysis cost
+        # is reported separately as plan_construction_sec). The
+        # PREPARE/EXECUTE symmetric form was tried and REVERTED: on this
+        # DuckDB build, re-EXECUTING one headline oracle (q82) trips an
+        # internal error ("Attempted to access index N within vector")
+        # that FATALs the connection for every later statement — raw SQL
+        # in the loop is the robust protocol, and the bias it keeps is
+        # orders of magnitude below the per-query floor being measured.
         con = duckdb_connection(data_dir)
         out: dict[str, float] = {}
-        for i, name in enumerate(HEADLINE):
+        for name in HEADLINE:
             sql = specs[name].oracle
             if sql is None:
                 continue
-            stmt = f"__bench_q{i}"
-            try:
-                con.execute(f"PREPARE {stmt} AS {sql}")
-                timed_sql = f"EXECUTE {stmt}"
-            except Exception:  # statement shape PREPARE can't take
-                timed_sql = sql
             runs = []
             for _ in range(n_runs):
                 t0 = time.perf_counter()
-                con.execute(timed_sql).fetchall()
+                con.execute(sql).fetchall()
                 runs.append(time.perf_counter() - t0)
             out[name] = round(min(runs), 3)
         con.close()

@@ -359,11 +359,11 @@ def q40_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_suppkey
     """,
-    doc="two-stage salted aggregation (skew-bounded) matching the plain groupBy",
+    doc="skew-ADAPTIVE salted aggregation (probe-gated) matching the plain groupBy",
     tags=("agg", "skew"),
 )
 def q41_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from feature_store_test_spark.operators.skew import salted_agg
+    from feature_store_test_spark.operators.skew import detect_hot_keys, salted_agg
 
     from feature_store_test_spark.functions import (
         dec_ticks,
@@ -373,7 +373,7 @@ def q41_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, "lineitem", sf_dir)
-    # money rides through both salting stages as hi/lo long tick sums
+    # money rides through the salting stages as hi/lo long tick sums
     # (codegen-compact, exact — see functions.dec_sum); the decimal form
     # paid a per-row BigDecimal in BOTH stage aggregations. The tick
     # expression is pre-projected ONCE — hash-agg codegen does not share
@@ -384,17 +384,42 @@ def q41_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         dec_ticks(F.col("l_extendedprice"), 2).alias("__pt"),
     )
-    out = salted_agg(
-        pre,
-        keys=["l_suppkey"],
-        aggs={
-            "n_items": ("sum", F.count(F.lit(1))),
-            "__tp_hi": ("sum", F.sum(ticks_hi(F.col("__pt")))),
-            "__tp_lo": ("sum", F.sum(ticks_lo(F.col("__pt")))),
-            "max_qty_dec": ("max", F.max(F.col("l_quantity").cast("decimal(18,2)"))),
-        },
-        n_salt=16,
-    )
+    # ADAPTIVE salting (round 6 — the same cost-based-gate discipline as
+    # the dedup exact-collapse): the salted two-stage runs only when the
+    # false-positive-free hot-key probe (memoized, operators/skew.py)
+    # actually finds a key above threshold. Two layers of honesty here:
+    # (1) on a uniform key domain the extra salt shuffle is pure cost;
+    # (2) for ALGEBRAIC aggregates (sum/count/max) Spark's map-side
+    # partial aggregation already bounds any one reducer's work by the
+    # number of MAP TASKS, not the hot key's row count — the salted
+    # shape is the tool for non-combinable aggregation states
+    # (collect_list/exact-distinct buffers) and stays exercised by the
+    # skew tests and by any load where the probe fires. Both paths are
+    # bit-identical: long tick sums are associative, count is a sum of
+    # partial counts, max is max.
+    hot = detect_hot_keys(pre, "l_suppkey", hot_threshold=1_000_000)
+    if hot:
+        out = salted_agg(
+            pre,
+            keys=["l_suppkey"],
+            aggs={
+                "n_items": ("sum", F.count(F.lit(1))),
+                "__tp_hi": ("sum", F.sum(ticks_hi(F.col("__pt")))),
+                "__tp_lo": ("sum", F.sum(ticks_lo(F.col("__pt")))),
+                "max_qty_dec": (
+                    "max",
+                    F.max(F.col("l_quantity").cast("decimal(18,2)")),
+                ),
+            },
+            n_salt=16,
+        )
+    else:
+        out = pre.groupBy("l_suppkey").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(ticks_hi(F.col("__pt"))).alias("__tp_hi"),
+            F.sum(ticks_lo(F.col("__pt"))).alias("__tp_lo"),
+            F.max(F.col("l_quantity").cast("decimal(18,2)")).alias("max_qty_dec"),
+        )
     return out.select(
         "l_suppkey",
         "n_items",

@@ -475,3 +475,52 @@ def test_adaptive_collapse_is_cost_based(spark, sf_dir):
     )
     arr2 = D.shingle_array(doubled, "doc_id", "text")
     assert D.has_duplicate_sets(arr2, "doc_id", "shingles", min_frac=0.05)
+
+
+def test_q41_adaptive_salting_paths_agree(spark):
+    """q41's probe-gated salting (round 6): the salted two-stage and the
+    plain single-stage aggregation are bit-identical on the same frame —
+    long tick sums are associative, count is a sum of partial counts,
+    max is max — so the adaptive gate can only move cost, never values."""
+    from feature_store_test_spark.functions import (
+        dec_ticks,
+        ticks_hi,
+        ticks_lo,
+        ticks_total,
+    )
+    from feature_store_test_spark.operators.skew import salted_agg
+
+    rows = [(i % 7, float(i % 50) + 0.25, 10.0 + (i % 9)) for i in range(5000)]
+    df = spark.createDataFrame(
+        rows, "l_suppkey long, l_quantity double, l_extendedprice double"
+    )
+    pre = df.select(
+        "l_suppkey",
+        "l_quantity",
+        dec_ticks(F.col("l_extendedprice"), 2).alias("__pt"),
+    )
+    aggs = {
+        "n_items": ("sum", F.count(F.lit(1))),
+        "__tp_hi": ("sum", F.sum(ticks_hi(F.col("__pt")))),
+        "__tp_lo": ("sum", F.sum(ticks_lo(F.col("__pt")))),
+        "max_qty_dec": ("max", F.max(F.col("l_quantity").cast("decimal(18,2)"))),
+    }
+    final = lambda out: out.select(  # noqa: E731
+        "l_suppkey",
+        "n_items",
+        ticks_total(F.col("__tp_hi"), F.col("__tp_lo"), 2).alias("total_price"),
+        F.col("max_qty_dec").cast("double").alias("max_qty"),
+    )
+    salted = {tuple(r) for r in final(salted_agg(pre, ["l_suppkey"], aggs)).collect()}
+    plain = {
+        tuple(r)
+        for r in final(
+            pre.groupBy("l_suppkey").agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(ticks_hi(F.col("__pt"))).alias("__tp_hi"),
+                F.sum(ticks_lo(F.col("__pt"))).alias("__tp_lo"),
+                F.max(F.col("l_quantity").cast("decimal(18,2)")).alias("max_qty_dec"),
+            )
+        ).collect()
+    }
+    assert salted == plain and len(salted) == 7
