@@ -287,7 +287,24 @@ def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, Dat
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
 
 
+_VIEWS_REGISTERED: dict[tuple, str] = {}
+_VIEWS_REGISTERED_MAX = 64
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
-    """Register every table as a temp view for spark.sql() querying."""
+    """Register every table as a temp view for spark.sql() querying.
+
+    Memoized per (session id, sf_dir): re-registering ten identical views
+    on every SQL-frontend query construction cost ~10 analysis RPCs per
+    call for no effect. A DIFFERENT sf_dir re-registers (last writer wins
+    — temp views are session-global, same as before), and a new session
+    re-registers from scratch.
+    """
+    key = (id(spark), spark.sparkContext.applicationId)
+    if _VIEWS_REGISTERED.get(key) == sf_dir:
+        return
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+    if len(_VIEWS_REGISTERED) >= _VIEWS_REGISTERED_MAX:
+        _VIEWS_REGISTERED.pop(next(iter(_VIEWS_REGISTERED)))
+    _VIEWS_REGISTERED[key] = sf_dir

@@ -271,19 +271,21 @@ def jaccard_verify_arrays(
     """
     aa = arr_df.selectExpr(f"`{id_col}` AS id_a", f"`{arr_col}` AS __arr_a")
     bb = arr_df.selectExpr(f"`{id_col}` AS id_b", f"`{arr_col}` AS __arr_b")
-    # filter on the UNrounded ratio (the oracle's WHERE does too); the
-    # aliased projection keeps the intersect evaluated once per pair
+    # filter on the UNrounded ratio (the oracle's WHERE does too)
     ratio = (
         "CAST(size(array_intersect(__arr_a, __arr_b)) AS DOUBLE) / "
         "CAST(size(__arr_a) + size(__arr_b) "
         "- size(array_intersect(__arr_a, __arr_b)) AS DOUBLE)"
     )
+    # single projection after the joins: the filter evaluates the ratio
+    # expression directly (candidate rows are few — re-evaluating the
+    # intersect in the filter costs less than another analysis pass over
+    # the whole tree at construction; round-6 op-count shave)
     return (
         pairs.join(aa, "id_a")
         .join(bb, "id_b")
-        .selectExpr("id_a", "id_b", f"{ratio} AS __ratio")
-        .where(f"__ratio >= {threshold!r}")
-        .selectExpr("id_a", "id_b", "round(__ratio, 6) AS jaccard")
+        .where(f"{ratio} >= {threshold!r}")
+        .selectExpr("id_a", "id_b", f"round({ratio}, 6) AS jaccard")
     )
 
 
@@ -407,21 +409,25 @@ def lsh_candidate_pairs(
         return f"md5(concat({cols}))"
 
     # one selectExpr parse instead of bands x (struct + bucket hash)
-    # Column-API calls — same tree, a fraction of the py4j round-trips
+    # Column-API calls — same tree, a fraction of the py4j round-trips;
+    # inline() (round 6) lands the struct fields directly as (band,
+    # bucket) columns, fusing what explode + a reprojection did in two
+    # analysis passes
     entries = ", ".join(
         f"struct({b} AS band, {bucket_of(b)} AS bucket)" for b in range(bands)
     )
     banded = signatures.selectExpr(
-        f"`{id_col}`", f"explode(array({entries})) AS e"
-    ).selectExpr(f"`{id_col}`", "e.band AS band", "e.bucket AS bucket")
+        f"`{id_col}`", f"inline(array({entries}))"
+    )
     # the pair expansion is one inline() over the SQL twin of
     # ordered_pair_structs — same tree, a handful of RPCs instead of the
     # nested-lambda Column build, and inline() lands directly on
     # (id_a, id_b) columns without the intermediate struct projection
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.expr(f"array_sort(collect_set(`{id_col}`)) AS ids"))
-        .where("size(ids) > 1")
+    # no size-1 pre-filter: a singleton bucket's ordered-pair expansion is
+    # the empty array, so inline() already drops it — the where() was a
+    # redundant analysis pass, not an execution saver (round 6)
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.expr(f"array_sort(collect_set(`{id_col}`)) AS ids")
     )
     return buckets.selectExpr(f"inline({ordered_pairs_sql('ids')})").distinct()
 

@@ -809,43 +809,45 @@ def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame
         base, "doc_id", "hs", k=k, keep_cols=["hs"]
     ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=k, bands=_MINHASH_BANDS)
-    sa = sigs.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("hs").alias("arr_a"),
-        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)],
+    # single-parse projections (round-6 construction shave: each
+    # DataFrame op re-analyzes the whole accumulated tree JVM-side, and
+    # this tail was ~55% of q111's per-construction cost)
+    sa = sigs.selectExpr(
+        "doc_id AS id_a",
+        "hs AS arr_a",
+        *[f"mh{j} AS a{j}" for j in range(k)],
     )
-    sb = sigs.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("hs").alias("arr_b"),
-        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)],
+    sb = sigs.selectExpr(
+        "doc_id AS id_b",
+        "hs AS arr_b",
+        *[f"mh{j} AS b{j}" for j in range(k)],
     )
-    agree = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)
+    # est/exact both UNrounded inside the round() calls (rounding inputs
+    # earlier would bias abs_err at rounding boundaries); array_intersect
+    # yields 0 for disjoint pairs, matching the oracle's LEFT JOIN +
+    # COALESCE. One fused SQL projection — the est/exact subexpressions
+    # repeat textually, which costs re-evaluation only on the tiny
+    # candidate-pair rows and saves a whole-tree analysis pass.
+    agree = " + ".join(
+        # IF(): null-safe to 0 like the old when/otherwise form (inner
+        # joins make nulls impossible here, but don't rely on it)
+        f"IF(a{j} = b{j}, 1, 0)" for j in range(k)
     )
-    # exact Jaccard UNrounded until the final select (rounding earlier
-    # would bias abs_err at rounding boundaries); array_intersect yields
-    # 0 for disjoint pairs, matching the oracle's LEFT JOIN + COALESCE.
-    i = F.size(F.array_intersect("arr_a", "arr_b"))
-    exact_raw = i.cast("double") / (
-        F.size("arr_a") + F.size("arr_b") - i
-    ).cast("double")
+    exact = (
+        "CAST(size(array_intersect(arr_a, arr_b)) AS DOUBLE) / "
+        "CAST(size(arr_a) + size(arr_b) "
+        "- size(array_intersect(arr_a, arr_b)) AS DOUBLE)"
+    )
+    est = f"(CAST({agree} AS DOUBLE) / {k})"
     rep_out = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            (agree.cast("double") / k).alias("est_jaccard"),
-            exact_raw.alias("exact_raw"),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.round("est_jaccard", 6).alias("est_jaccard"),
-            F.round("exact_raw", 6).alias("exact_jaccard"),
-            F.round(F.abs(F.col("est_jaccard") - F.col("exact_raw")), 6).alias(
-                "abs_err"
-            ),
+            f"round({est}, 6) AS est_jaccard",
+            f"round({exact}, 6) AS exact_jaccard",
+            f"round(abs({est} - {exact}), 6) AS abs_err",
         )
     )
     if not collapse:
