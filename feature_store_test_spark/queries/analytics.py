@@ -416,6 +416,11 @@ def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   cost. It pays in q135's shape, where most probe rows MISS
     #   (90% shuffle reduction there). A deploy expecting heavily-orphaned
     #   loads would flip this, not the healthy-FK steady state.
+    # Round-6 A/B, REJECTED (don't re-run): joining orders FIRST so the
+    # pk/sk broadcast probes run in the parallel post-shuffle tasks
+    # instead of the single-threaded scan task measured ~2x SLOWER
+    # (0.48 -> 0.91 interleaved min-of-6) — the probes cost less in the
+    # scan pipeline than the reordered plan's extra stage structure.
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     pk = F.broadcast(

@@ -195,14 +195,22 @@ def test_q76_scans_lineitem_once(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan
 
 
-def test_q78_existentials_are_window_counts(spark, sf_dir):
-    """Q21-shape EXISTS/NOT EXISTS must run as per-order window counts on
-    the join+agg's own partitioning — no semi/anti self-joins, lineitem
-    read once."""
+def test_q78_existentials_are_pipelined_aggs(spark, sf_dir):
+    """Q21-shape EXISTS/NOT EXISTS must run as a SECOND hash aggregation
+    on the orderkey partitioning the join already produced (round 6) —
+    no semi/anti self-joins, lineitem read once, NO window and NO sort
+    anywhere except the bounded final report sort, and no exchange
+    between the flag aggregation and the per-order count aggregation
+    (both are satisfied by the join's hash partitioning)."""
     plan = plan_of(spark, sf_dir, "q78_lonely_late_supplier")
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert plan.count("lineitem.parquet") == 1
-    assert "Window" in plan
+    assert "Window" not in plan
+    # hash exchanges: lineitem + orders (the SHJ's two sides) and the
+    # final per-supplier-name aggregation — NOT four: nothing re-shuffles
+    # between the flag aggregation and the per-order count aggregation
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("Exchange hashpartitioning") == 3, plan
 
 
 def test_q109_windows_share_one_exchange(spark, sf_dir):
