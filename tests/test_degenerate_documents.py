@@ -55,3 +55,45 @@ def test_degenerate_docs_do_not_crash(spark, degenerate_docs, name, expected):
     release_caches()
     if expected is not None:
         assert n == expected, name
+
+
+def test_bm25_adversarial_corpus_matches_oracle(spark, tmp_path):
+    """Round-6 adversarial probe for the retrieval family, ORACLE-compared
+    (the family's other degenerate coverage is Spark-only): a corpus where
+    every doc contains every query term (df == N — minimal idf), a doc
+    that is ONLY query terms repeated (tf ≈ dl), whitespace-only text,
+    a one-word doc, and ties by construction. Pins that the shared SQL
+    scoring text really is engine-agreed on the degenerate ends of the
+    tf/df/dl ranges and that rounded-score + doc_id tiebreaks hold."""
+    import duckdb
+
+    from feature_store_test_spark.registry import all_queries, release_caches
+
+    rows = [
+        (0, "hash scan merge", "s", 15),
+        (1, "hash hash hash hash hash hash hash hash", "s", 39),  # tf~dl
+        (2, "   ", "s", 3),                                        # whitespace only
+        (3, "merge", "s", 5),                                      # one word
+        (4, "hash scan merge", "s", 15),                           # exact tie with 0
+        (5, "a b c d e f g h hash scan merge", "s", 31),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.parquet(sf + "/documents.parquet")
+
+    spec = all_queries()["q134_bm25_search"]
+    got = sorted(tuple(r) for r in spec.fn(spark, sf).collect())
+    release_caches()
+    con = duckdb.connect()
+    con.execute(  # Spark writes a part-file directory -> glob form
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert len(got) == 5  # every doc but the whitespace-only one scores
+    assert got == want
+    # ties really happened and broke deterministically: docs 0 and 4 are
+    # identical texts -> identical rounded scores, both present
+    by_id = {r[0]: r[-1] for r in got}
+    assert by_id[0] == by_id[4]

@@ -340,6 +340,30 @@ def test_cosine_topk_arrow_matches_fold(spark, sf_dir):
     assert small == exact
 
 
+def test_cosine_topk_arrow_query_memo_does_not_alias(spark, sf_dir):
+    """Round-6 memo boundary: the request-batch collect is memoized on
+    (app id, plan semanticHash) — DIFFERENT query batches built in the
+    same session must resolve to DIFFERENT matrices (a memo-key slip
+    would silently score every batch against the first one's queries)."""
+    from feature_store_test_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qa = emb.where(F.col("vec_id") < 10)
+    qb = emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    got_a = {tuple(r) for r in cosine_topk_arrow(emb, qa, k=3).collect()}
+    got_b = {tuple(r) for r in cosine_topk_arrow(emb, qb, k=3).collect()}
+    assert {r[0] for r in got_a} == set(range(10))
+    assert {r[0] for r in got_b} == set(range(10, 20))
+    assert got_a == {tuple(r) for r in cosine_topk(emb, qa, k=3).collect()}
+    assert got_b == {tuple(r) for r in cosine_topk(emb, qb, k=3).collect()}
+    # repeated construction of the SAME batch hits the memo and stays exact
+    again = {tuple(r) for r in cosine_topk_arrow(emb, qa, k=3).collect()}
+    assert again == got_a
+
+
 def test_ivf_sampled_fit_recall_and_determinism(spark, sf_dir):
     """The sampled-Lloyd IVF fit (faiss practice: bounded training sample,
     zero extra Spark jobs) must match the ml fit's guarantees: fixed-seed
