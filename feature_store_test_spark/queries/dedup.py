@@ -939,3 +939,57 @@ def q126_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text_dedup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q149 — normalize-then-dedup (the C4/RefinedWeb canonicalization pass):
+# lowercase, strip non-alphanumerics, collapse whitespace, THEN fingerprint —
+# catches the near-duplicates exact dedup misses (case/punctuation/spacing
+# variants of the same document). Reports, per source, how many extra
+# duplicate docs normalization exposes over raw fingerprinting.
+# Scale: two md5 fingerprints per doc in one scan projection; the per-source
+# aggregation shuffles 16-byte digests only (the q102/q128 discipline —
+# never whole documents). The normalization expression is shared SQL text:
+# Spark's regexp_replace replaces all matches by default, DuckDB's needs
+# the 'g' flag — both spelled out so the engines agree byte-for-byte.
+# ---------------------------------------------------------------------------
+@register(
+    "q149_normalized_dedup",
+    oracle="""
+    WITH canon AS (
+      SELECT source,
+             md5(text) AS raw_fp,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g'))) AS norm_fp
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT raw_fp) AS n_exact_distinct,
+           COUNT(DISTINCT norm_fp) AS n_norm_distinct,
+           CAST(COUNT(DISTINCT raw_fp) - COUNT(DISTINCT norm_fp) AS BIGINT)
+             AS extra_dups_caught
+    FROM canon
+    GROUP BY source
+    """,
+    doc="normalize-then-dedup: canonicalized fingerprints vs raw, per source",
+    tags=("dedup", "text", "curation", "agg"),
+)
+def q149_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.data import load_table as _plain
+
+    docs = _plain(spark, "documents", sf_dir)  # one-md5-per-row work: plain loader
+    canon = docs.selectExpr(
+        "source",
+        "md5(text) AS raw_fp",
+        "md5(trim(regexp_replace(regexp_replace(lower(text),"
+        " '[^a-z0-9 ]', ' '), '  +', ' '))) AS norm_fp",
+    )
+    return canon.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("raw_fp").alias("n_exact_distinct"),
+        F.countDistinct("norm_fp").alias("n_norm_distinct"),
+        (F.countDistinct("raw_fp") - F.countDistinct("norm_fp"))
+        .cast("bigint")
+        .alias("extra_dups_caught"),
+    )
