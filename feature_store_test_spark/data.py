@@ -18,6 +18,7 @@ column is read directly as TimestampType.
 from __future__ import annotations
 
 import functools
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -287,24 +288,26 @@ def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, Dat
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
 
 
-_VIEWS_REGISTERED: dict[tuple, str] = {}
-_VIEWS_REGISTERED_MAX = 64
+_VIEWS_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_temp_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view for spark.sql() querying.
 
-    Memoized per (session id, sf_dir): re-registering ten identical views
-    on every SQL-frontend query construction cost ~10 analysis RPCs per
-    call for no effect. A DIFFERENT sf_dir re-registers (last writer wins
-    — temp views are session-global, same as before), and a new session
-    re-registers from scratch.
+    Memoized per live session object (WeakKeyDictionary, value = sf_dir):
+    re-registering ten identical views on every SQL-frontend query
+    construction cost ~10 analysis RPCs per call for no effect. A
+    DIFFERENT sf_dir re-registers (last writer wins — temp views are
+    session-global, same as before), and a new session re-registers from
+    scratch. Keying on the session OBJECT (not ``id(spark)``) means a
+    GC'd session's entry vanishes with it — CPython id reuse can hand a
+    new session a dead session's id, which under the old dict key falsely
+    reported its session-scoped temp views as registered (ADVICE r6).
     """
-    key = (id(spark), spark.sparkContext.applicationId)
-    if _VIEWS_REGISTERED.get(key) == sf_dir:
+    if _VIEWS_REGISTERED.get(spark) == sf_dir:
         return
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
-    if len(_VIEWS_REGISTERED) >= _VIEWS_REGISTERED_MAX:
-        _VIEWS_REGISTERED.pop(next(iter(_VIEWS_REGISTERED)))
-    _VIEWS_REGISTERED[key] = sf_dir
+    _VIEWS_REGISTERED[spark] = sf_dir

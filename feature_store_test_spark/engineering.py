@@ -66,7 +66,9 @@ def engineer_features(
         *[f"`{v}`" for v in value_cols],
         *[f"{dec_ticks_sql(f'`{v}`', 2)} AS `__t_{v}`" for v in value_cols],
     )
-    struct_cols = ", ".join([f"`{event_time}`", f"`{tiebreak}`", *value_cols])
+    struct_cols = ", ".join(
+        [f"`{event_time}`", f"`{tiebreak}`", *[f"`{v}`" for v in value_cols]]
+    )
     aggs = [
         F.expr(f"max(struct({struct_cols}))").alias("__latest"),
         F.expr("count(1)").alias("__n"),

@@ -13,6 +13,8 @@ exact-recall oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -585,9 +587,39 @@ def _memo_train(df: DataFrame, tag: str, params: tuple, build):
 
 def _memo_query_matrix(queries: DataFrame, id_col: str, vec_col: str, collect):
     """Memoized driver collect of a request batch (ids, normalized matrix)
-    for the exact GEMM scorer — same key/staleness contract as
-    ``_memo_train`` (the matrix is a pure function of the queries plan)."""
-    return _memo_train(queries, "topk_query_matrix", (id_col, vec_col), collect)
+    for the exact GEMM scorer.
+
+    Unlike the train-once artifacts, this memo feeds an EXACT scorer, so
+    its key is strengthened beyond ``_memo_train``'s 32-bit semanticHash
+    (ADVICE r6): it also folds in (a) an md5 of the full analyzed-plan
+    text — two different query plans colliding on both the 32-bit hash
+    AND the full plan string is not a realistic event — and (b) the
+    identity (path, size, mtime-ns) of every input file behind the plan,
+    so rewriting the query batch in place under an identical plan misses
+    the cache and re-collects. Both are driver-side only (no Spark jobs),
+    preserving the bench/serving win the memo exists for.
+    """
+    import hashlib
+
+    plan_txt = queries._jdf.queryExecution().analyzed().toString()
+    plan_md5 = hashlib.md5(plan_txt.encode()).hexdigest()
+    files = []
+    try:
+        for f in sorted(queries.inputFiles()):
+            p = f[7:] if f.startswith("file://") else f
+            try:
+                st = os.stat(p)
+                files.append((f, st.st_size, st.st_mtime_ns))
+            except OSError:
+                files.append((f, -1, -1))
+    except Exception:  # non-file-based plans (in-memory relations)
+        pass
+    return _memo_train(
+        queries,
+        "topk_query_matrix",
+        (id_col, vec_col, plan_md5, tuple(files)),
+        collect,
+    )
 
 
 # ---------------------------------------------------------------------------
