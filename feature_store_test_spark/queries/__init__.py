@@ -18,6 +18,7 @@ Modules:
     sketches        count-min heavy hitters with exact rerank
     fuzzy           edit-distance fuzzy matching (length-band blocked levenshtein join)
     profiling       one-pass column profiler (rows / nulls / exact distinct)
+    tokenize        corpus-trained BPE: recursive-SQL-replayable merge training + token counts
 """
 
 from feature_store_test_spark.queries import (  # noqa: F401
@@ -38,4 +39,5 @@ from feature_store_test_spark.queries import (  # noqa: F401
     similarity,
     sketches,
     text,
+    tokenize,
 )
