@@ -191,6 +191,18 @@ class NearDupIngest:
         # batch-sized by definition, so a driver-side materialization is
         # the correct (and cheap) cut of that lineage.
         rows = report.collect()
+        # Duplicate ids within one batch would sail through the internal
+        # LSH pass (a pair needs id_a < id_b, so two rows of the SAME id
+        # never form a candidate) and ingest twice. The declared pipeline
+        # runs dedup_stream (exact key dedup) upstream; enforce that
+        # contract loudly instead of corrupting the corpus. Driver-side
+        # and free: the report is already collected.
+        ids = [r[id_c] for r in rows]
+        if len(ids) != len(set(ids)):
+            raise ValueError(
+                "NearDupIngest: duplicate ids within one micro-batch — "
+                "run exact dedup (streaming/dedup.dedup_stream) upstream"
+            )
         out = self.spark.createDataFrame(rows, report.schema)
 
         novel = [r[id_c] for r in rows if r["status"] == "novel"]

@@ -127,33 +127,59 @@ def _session_fold(gap_ms: int):
             )
             return
 
-        rows = pd.concat(list(pdfs)).sort_values("ts")
+        # Interval-merge sessionization (adversarial round 7 rewrite).
+        # Events may arrive ACROSS micro-batches out of event-time order
+        # (cross-batch skew): an event earlier than the open session's
+        # start must extend the interval BACKWARD, never drag `end`
+        # backward (the pre-r7 fold did exactly that, corrupting the
+        # interval to end < start). Uniform treatment: every event is a
+        # width-0 interval, the open state is an interval, sweep-merge
+        # all of them where next.start <= cur.end + gap.
+        gap = _dt.timedelta(milliseconds=gap_ms)
+        ivals = [
+            (ts.to_pydatetime(), ts.to_pydatetime(), 1)
+            for pdf in pdfs
+            for ts in pdf["ts"]
+        ]
+        if state.exists:
+            s0, e0, n0 = state.get
+            ivals.append((s0, e0, int(n0)))
+        ivals.sort(key=lambda t: (t[0], t[1]))
+        merged: list[list] = []
+        for s, e, n in ivals:
+            if merged and s <= merged[-1][1] + gap:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += n
+            else:
+                merged.append([s, e, n])
+
         out = {
             "user_id": [],
             "session_start": [],
             "session_end": [],
             "n_events": [],
         }
-        if state.exists:
-            start, end, n = state.get
-        else:
-            start = end = None
-        for ts in rows["ts"]:
-            ts = ts.to_pydatetime()
-            if start is None:
-                start, end, n = ts, ts, 0
-            elif (ts - end) > _dt.timedelta(milliseconds=gap_ms):
-                out["user_id"].append(key[0])
-                out["session_start"].append(start)
-                out["session_end"].append(end)
-                out["n_events"].append(n)
-                start, end, n = ts, ts, 0
-            n += 1
-            end = ts
+        # Single-open-session state bound (documented): only the interval
+        # with the latest end can still grow under ordinary late arrival;
+        # any earlier disjoint interval is emitted NOW. Under deep skew
+        # (an event > gap older than the open session, arriving while the
+        # watermark still admits even-older events) this eager close can
+        # split what a batch sessionizer would merge — the bounded-state
+        # trade, pinned by test_streaming_adversarial.py.
+        for s, e, n in merged[:-1]:
+            out["user_id"].append(key[0])
+            out["session_start"].append(s)
+            out["session_end"].append(e)
+            out["n_events"].append(n)
+        start, end, n = merged[-1]
+
         close_at = int(end.timestamp() * 1000) + gap_ms
-        if close_at <= state.getCurrentWatermarkMs():
-            # the watermark already proves no more events can join this
-            # session (a timeout may not be set in the past) — close now
+        wm = state.getCurrentWatermarkMs()
+        if close_at < wm:
+            # STRICTLY below: an event at ts == close_at == watermark is
+            # not late (Spark drops only ts < watermark) and sits exactly
+            # gap from end, so it would still join — the pre-r7 `<=` close
+            # split that tie event into a spurious second session.
             out["user_id"].append(key[0])
             out["session_start"].append(start)
             out["session_end"].append(end)
@@ -162,8 +188,11 @@ def _session_fold(gap_ms: int):
         else:
             state.update((start, end, n))
             # wake up once event time passes end + gap: if nothing else
-            # arrives for this key, the session closes on that timeout
-            state.setTimeoutTimestamp(close_at)
+            # arrives for this key, the session closes on that timeout.
+            # A timeout may not sit at/below the watermark — clamp to
+            # wm + 1 for the close_at == wm tie (fires on the next
+            # watermark advance, after any tie event has been folded).
+            state.setTimeoutTimestamp(max(close_at, wm + 1))
         yield pd.DataFrame(out)
 
     return fold
