@@ -421,6 +421,16 @@ def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of the single-threaded scan task measured ~2x SLOWER
     # (0.48 -> 0.91 interleaved min-of-6) — the probes cost less in the
     # scan pipeline than the reordered plan's extra stage structure.
+    # Round-7 A/Bs, both REJECTED (don't re-run):
+    # - fused union+two-level tagged agg (lineitem ∪ orders keyed on
+    #   orderkey, one shuffle, no joins): ~15% SLOWER interleaved
+    #   min-of-12 (0.563 vs 0.650) — the 150k-key hash agg costs more
+    #   than the SHJ probe + separate orders branch it replaces;
+    # - ONE combined (kind, key) parent broadcast for pk/sk/ck reused
+    #   across the three joins: a wash (0.576 vs 0.600 min interleaved)
+    #   and still 4 jobs — Catalyst pushes each join's kind-literal into
+    #   the build side as a filter, so the three BroadcastExchanges stay
+    #   distinct and nothing is reused.
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     pk = F.broadcast(
