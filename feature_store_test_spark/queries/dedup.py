@@ -993,3 +993,131 @@ def q149_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("extra_dups_caught"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q152 — variable-length MAX-SPAN exact substring dedup (the suffix-window
+# generalization of q126; VERDICT r6 item 4). Production analog: the
+# exact-substring pass of Lee et al. 2021 / RefinedWeb, which removes the
+# LONGEST duplicated span, not fixed windows. Bucketed formulation:
+# - anchor: every SLIDING (stride-1) W-token window, fingerprinted md5 —
+#   a duplicated substring of any length >= W is exactly a maximal run of
+#   duplicated anchors, so variable-length spans reduce to fixed-width
+#   anchor coverage (this is the suffix-window trick: no suffix array,
+#   no all-pairs);
+# - keep-first: the globally first occurrence of each anchor (total
+#   (doc_id, pos) order) is not a duplicate; later occurrences mark their
+#   W tokens as covered;
+# - island merge: per doc, covered positions p_i sorted; a new maximal
+#   run starts when p_i > p_{i-1} + W (coverage intervals of equal width
+#   W union exactly there); run length = last - first + W.
+# Output per doc: anchor/coverage/run statistics (docs shorter than W
+# report zeros). Scale: anchor rows = one per token; only (doc_id, pos,
+# 16-byte digest) ever shuffles — once on the digest for the global
+# keep-first window, once on doc_id for the island merge. The md5-anchor
+# equality is the same 128-bit collision trade documented for q102/q110.
+# ---------------------------------------------------------------------------
+_SPAN_W = 10
+
+
+@register(
+    "q152_max_span_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    anchors AS (
+      SELECT doc_id, g.i AS pos,
+             md5(array_to_string(t[g.i + 1 : g.i + {_SPAN_W}], ' ')) AS fp
+      FROM t, unnest(generate_series(0, len(t) - {_SPAN_W})) AS g(i)
+      WHERE len(t) >= {_SPAN_W}
+    ),
+    covered AS (
+      SELECT doc_id, pos
+      FROM (SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+            FROM anchors)
+      WHERE rn > 1
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + {_SPAN_W} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM covered)
+    ),
+    run_stats AS (
+      SELECT doc_id, run_id,
+             MAX(pos) - MIN(pos) + {_SPAN_W} AS run_len
+      FROM runs GROUP BY doc_id, run_id
+    ),
+    doc_stats AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS INT) AS n_dup_runs,
+             CAST(SUM(run_len) AS INT) AS n_covered_tokens,
+             CAST(MAX(run_len) AS INT) AS max_run_len
+      FROM run_stats GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+           COALESCE(s.n_dup_runs, 0) AS n_dup_runs,
+           COALESCE(s.n_covered_tokens, 0) AS n_covered_tokens,
+           COALESCE(s.max_run_len, 0) AS max_run_len
+    FROM documents d LEFT JOIN doc_stats s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="variable-length max-span substring dedup (sliding anchors + island merge)",
+    tags=("dedup", "text", "window", "pipeline"),
+)
+def q152_max_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    W = _SPAN_W
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", F.split("text", " ").alias("t"))
+    anchors = t.where(F.size("t") >= W).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - W),
+                lambda i: F.md5(F.array_join(F.slice("t", i + 1, W), " ")),
+            )
+        ).alias("pos", "fp"),
+    )
+    wk = Window.partitionBy("fp").orderBy("doc_id", "pos")
+    covered = (
+        anchors.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = covered.withColumn("prev", F.lag("pos").over(wd)).withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + W), 1
+            ).otherwise(0)
+        ).over(wd),
+    )
+    run_stats = runs.groupBy("doc_id", "run_id").agg(
+        (F.max("pos") - F.min("pos") + W).alias("run_len")
+    )
+    doc_stats = run_stats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_dup_runs"),
+        F.sum("run_len").cast("int").alias("n_covered_tokens"),
+        F.max("run_len").cast("int").alias("max_run_len"),
+    )
+    return (
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).cast("int").alias("n_tokens")
+        )
+        .join(doc_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_runs", F.lit(0)).alias("n_dup_runs"),
+            F.coalesce("n_covered_tokens", F.lit(0)).alias("n_covered_tokens"),
+            F.coalesce("max_run_len", F.lit(0)).alias("max_run_len"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )

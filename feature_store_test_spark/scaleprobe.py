@@ -79,6 +79,10 @@ PROBED = [
     "q131_feature_hash_near_dups",
     "q134_bm25_search",
     "q147_entity_resolution",
+    # round 7: the two newest dedup/tokenize family members (VERDICT r6
+    # item 6 asked for q149; q152 is the suffix-window span dedup)
+    "q149_normalized_dedup",
+    "q152_max_span_dedup",
 ]
 
 

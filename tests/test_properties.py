@@ -157,3 +157,42 @@ def test_forward_asof_with_tolerance_matches_naive(spark, left, right, strict, t
     )
     want = naive_asof_fwd(lrows, rrows if rrows else [(99, base, 0.0)], strict, tol_s)
     assert got == want
+
+
+def test_q152_max_span_semantics_handcrafted(spark, tmp_path):
+    """Pin the suffix-window algebra on a crafted corpus: doc B repeats a
+    14-token span of doc A -> one maximal run of exactly 14 covered
+    tokens (5 sliding 10-anchors merged), not 5 separate spans."""
+    import pyspark.sql.functions as F
+
+    from feature_store_test_spark.queries.dedup import q152_max_span_dedup
+
+    words_a = [f"w{i}" for i in range(30)]
+    # doc B: 3 unique tokens, then tokens 5..18 of A (14 tokens), then unique
+    words_b = ["x0", "x1", "x2"] + words_a[5:19] + ["y0", "y1", "y2"]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(words_a), "en", "s", len(" ".join(words_a))),
+            (1, " ".join(words_b), "en", "s", len(" ".join(words_b))),
+            (2, "too short", "en", "s", 9),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r.asDict() for r in q152_max_span_dedup(spark, sf).collect()}
+    # doc 0 is globally first at every anchor -> zero coverage
+    assert out[0]["n_dup_runs"] == 0 and out[0]["n_covered_tokens"] == 0
+    # doc 1: anchors at positions 3..7 duplicate doc 0's -> one merged run
+    # covering tokens [3, 16] = 14 tokens
+    assert out[1]["n_dup_runs"] == 1
+    assert out[1]["n_covered_tokens"] == 14
+    assert out[1]["max_run_len"] == 14
+    # doc 2 shorter than the anchor width: zeros, still present
+    assert out[2] == {
+        "doc_id": 2, "n_tokens": 2, "n_dup_runs": 0,
+        "n_covered_tokens": 0, "max_run_len": 0,
+    }
