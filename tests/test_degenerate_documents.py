@@ -97,3 +97,62 @@ def test_bm25_adversarial_corpus_matches_oracle(spark, tmp_path):
     # identical texts -> identical rounded scores, both present
     by_id = {r[0]: r[-1] for r in got}
     assert by_id[0] == by_id[4]
+
+
+def test_bpe_and_maxspan_degenerate_oracle_parity(spark, tmp_path):
+    """Round-7 adversarial probe for the new tokenize/span family, ORACLE-
+    compared on a corpus the fixtures never produce: empty text,
+    whitespace-only, punctuation-only (zero [a-z]+ words), a one-char
+    word, a word that is one long run of a single char (pathological
+    (x, x) self-overlapping merges), and exact duplicate docs (anchor
+    keep-first ties). Pins engine agreement of the recursive-CTE BPE
+    training replay and the island-merge span algebra on the degenerate
+    ends."""
+    import duckdb
+
+    from feature_store_test_spark.operators import bpe as bpe_ops
+
+    rows = [
+        (0, "", "s", 0),
+        (1, "   ", "s", 3),
+        (2, "123 ... !!!", "s", 11),                      # no [a-z]+ at all
+        (3, "x", "s", 1),                                  # one char
+        (4, "xxxxxxxxxx", "s", 10),                        # single-char run
+        (5, "the quick brown fox jumps over the lazy dog again", "s", 50),
+        (6, "the quick brown fox jumps over the lazy dog again", "s", 50),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.parquet(sf + "/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    for name in ("q150_bpe_train", "q151_bpe_token_counts", "q152_max_span_dedup"):
+        spec = all_queries()[name]
+        got = sorted(tuple(r) for r in spec.fn(spark, sf).collect())
+        release_caches()
+        want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+        assert got == want, name
+
+    # semantic spot checks:
+    merges, seg = bpe_ops.trained_bpe(spark, sf)
+    # the xxxxxxxxxx word segments consistently under self-overlapping merges
+    assert "".join(seg["xxxxxxxxxx"]) == "xxxxxxxxxx"
+    # docs 5 and 6 are exact dups: doc 5 owns every first anchor, doc 6 is
+    # fully covered (10 tokens, W=10 -> one run of exactly 10)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in all_queries()["q152_max_span_dedup"].fn(spark, sf).collect()
+    }
+    release_caches()
+    assert out[5]["n_covered_tokens"] == 0
+    assert out[6] == {
+        "doc_id": 6, "n_tokens": 10, "n_dup_runs": 1,
+        "n_covered_tokens": 10, "max_run_len": 10,
+    }
+    # wordless docs report zero coverage, empty-word docs absent from q151
+    assert out[0]["n_covered_tokens"] == 0 and out[2]["n_covered_tokens"] == 0
