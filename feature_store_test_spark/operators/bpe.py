@@ -149,16 +149,15 @@ _TRAIN_CACHE_MAX = 32
 
 
 def _docs_identity(sf_dir: str) -> tuple:
+    """(path, file-identity) of the documents table behind ``sf_dir``,
+    delegating to data._file_identity — the ONE place the staleness
+    fingerprint discipline lives (code-review r7: three hand-rolled
+    variants drift independently)."""
+    from feature_store_test_spark.data import _file_identity
+
     p = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
     try:
-        if os.path.isdir(p):
-            ents = []
-            for name in sorted(os.listdir(p)):
-                st = os.stat(os.path.join(p, name))
-                ents.append((name, st.st_size, st.st_mtime_ns))
-            return (p, tuple(ents))
-        st = os.stat(p)
-        return (p, st.st_size, st.st_mtime_ns)
+        return (p, _file_identity(p))
     except OSError:
         return (p, -1, -1)
 

@@ -601,7 +601,14 @@ def _memo_query_matrix(queries: DataFrame, id_col: str, vec_col: str, collect):
     """
     import hashlib
 
-    plan_txt = queries._jdf.queryExecution().analyzed().toString()
+    # CANONICALIZED plan text, not the raw analyzed string: raw plan
+    # strings embed exprIds (name#123), which are globally monotonic, so
+    # a caller reconstructing an identical request batch outside the
+    # exprId-stable reader memo would never hit the cache (code-review
+    # r7). Canonicalization normalizes exprIds while still capturing the
+    # full tree (the 32-bit semanticHash collision concern this key
+    # strengthens against).
+    plan_txt = queries._jdf.queryExecution().analyzed().canonicalized().toString()
     plan_md5 = hashlib.md5(plan_txt.encode()).hexdigest()
     files = []
     try:

@@ -1107,9 +1107,11 @@ def q152_max_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("int").alias("max_run_len"),
     )
     return (
-        docs.select(
-            "doc_id", F.size(F.split("text", " ")).cast("int").alias("n_tokens")
-        )
+        # reuse the token arrays already projected above — a second
+        # split(text) here would re-run the regex split over the whole
+        # corpus (code-review r7); t is built BEFORE the >= W filter, so
+        # every doc is present
+        t.select("doc_id", F.size("t").cast("int").alias("n_tokens"))
         .join(doc_stats, "doc_id", "left")
         .select(
             "doc_id",

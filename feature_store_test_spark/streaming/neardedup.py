@@ -105,6 +105,17 @@ class NearDupIngest:
         """
         id_c, thr = self.id_col, self.threshold
         sigs = self._sign(batch).cache()
+        try:
+            return self._process_batch_inner(batch, sigs)
+        finally:
+            # unpersist on EVERY exit — the duplicate-id guard raises
+            # mid-body, and a foreachBatch retry loop re-delivering the
+            # bad batch would otherwise leak one pinned cache per attempt
+            # (code-review r7)
+            sigs.unpersist()
+
+    def _process_batch_inner(self, batch: DataFrame, sigs: DataFrame) -> DataFrame:
+        id_c, thr = self.id_col, self.threshold
         sigs.count()  # materialize once; feeds banding + both verify sides
 
         # candidate pairs: batch-internal (group-expand, like the batch
@@ -219,7 +230,6 @@ class NearDupIngest:
         sigs.join(novel_df, id_c, "left_semi").write.mode("append").parquet(
             self.sig_path
         )
-        sigs.unpersist()
         return out
 
     def _banded(self, sigs: DataFrame) -> DataFrame:

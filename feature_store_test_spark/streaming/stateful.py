@@ -173,7 +173,15 @@ def _session_fold(gap_ms: int):
             out["n_events"].append(n)
         start, end, n = merged[-1]
 
-        close_at = int(end.timestamp() * 1000) + gap_ms
+        # The fold receives NAIVE wall times in the session timezone (the
+        # engine pins it to UTC — __spark_entry__/_ensure_session_confs),
+        # while the watermark is epoch ms. A bare .timestamp() on a naive
+        # datetime interprets it in the OS timezone, skewing close_at by
+        # the host's UTC offset on any non-UTC box (code-review r7):
+        # convert explicitly as UTC.
+        close_at = (
+            int(end.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000) + gap_ms
+        )
         wm = state.getCurrentWatermarkMs()
         if close_at < wm:
             # STRICTLY below: an event at ts == close_at == watermark is
@@ -189,10 +197,12 @@ def _session_fold(gap_ms: int):
             state.update((start, end, n))
             # wake up once event time passes end + gap: if nothing else
             # arrives for this key, the session closes on that timeout.
-            # A timeout may not sit at/below the watermark — clamp to
-            # wm + 1 for the close_at == wm tie (fires on the next
-            # watermark advance, after any tie event has been folded).
-            state.setTimeoutTimestamp(max(close_at, wm + 1))
+            # close_at + 1, not close_at: whichever equality convention
+            # Spark's timeout firing uses, the timeout must only fire
+            # once wm > close_at (an event at ts == close_at == wm is
+            # still admissible and still joins); and a timeout may not
+            # sit at/below the watermark — hence the wm + 1 clamp.
+            state.setTimeoutTimestamp(max(close_at + 1, wm + 1))
         yield pd.DataFrame(out)
 
     return fold
