@@ -511,16 +511,41 @@ class VersionedParquetTable:
         base = max(compacts, key=lambda c: c["version"])["base_version"]
         removed = []
         for c in commits:
+            # retry leg: a prior vacuum that crashed after tombstoning but
+            # before (or during) the rmtree left vacuum_dir behind —
+            # finish the deletion idempotently
+            if c.get("vacuumed") and c.get("vacuum_dir"):
+                shutil.rmtree(c["vacuum_dir"], ignore_errors=True)
+                if not os.path.exists(c["vacuum_dir"]):
+                    c.pop("vacuum_dir")
+                    self._rewrite_commit(c)
+                continue
             if c["version"] <= base and c.get("data_dir"):
-                shutil.rmtree(c["data_dir"], ignore_errors=True)
+                # TOMBSTONE FIRST, then delete (round 7): the old
+                # delete-then-tombstone order had a crash window where the
+                # data was gone but the commit still pointed at it, so
+                # readers hit a raw parquet path-not-found instead of the
+                # clean "versions were vacuumed" error. Tombstone-first
+                # inverts the failure: a crash leaks the directory, and
+                # the retained vacuum_dir lets the next vacuum() finish
+                # the job (retry leg above).
+                c["vacuum_dir"] = c["data_dir"]
                 c["data_dir"] = None
                 c["vacuumed"] = True
-                fd, tmp = tempfile.mkstemp(dir=self._log_path, suffix=".tmp")
-                with os.fdopen(fd, "w") as f:
-                    json.dump(c, f)
-                os.rename(tmp, self._commit_file(c["version"]))
+                self._rewrite_commit(c)
+                shutil.rmtree(c["vacuum_dir"], ignore_errors=True)
+                if not os.path.exists(c["vacuum_dir"]):
+                    c.pop("vacuum_dir")
+                    self._rewrite_commit(c)
                 removed.append(c["version"])
         return removed
+
+    def _rewrite_commit(self, c: dict) -> None:
+        """Atomically replace a commit file (tempfile + rename)."""
+        fd, tmp = tempfile.mkstemp(dir=self._log_path, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(c, f)
+        os.rename(tmp, self._commit_file(c["version"]))
 
     # -- read ---------------------------------------------------------------
     def _visible_commits(self, as_of_version: int | None) -> tuple[dict | None, list[dict]]:

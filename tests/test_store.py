@@ -814,3 +814,44 @@ def test_diff_reports_inserts_deletes_and_updates(spark, tmp_path):
     d3 = t.diff(1, 3, key_cols=["x"])
     got = {(r["_change_type"], r.x) for r in d3.collect()}
     assert got == {("insert", 4), ("delete", 2)}
+
+
+def test_vacuum_crash_window_is_clean_and_retryable(spark, tmp_path):
+    """Round-7 crash-safety: vacuum tombstones BEFORE deleting, so a crash
+    mid-vacuum leaves readers with the clean 'vacuumed' error (never a raw
+    parquet path-not-found), and the retained vacuum_dir lets the next
+    vacuum() finish the deletion idempotently."""
+    import json as _json
+    import os
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    t = VersionedParquetTable(spark, str(tmp_path / "t"), schema)
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], schema))
+    t.compact()
+
+    # simulate the crash-after-tombstone state for version 1: tombstone
+    # written (data_dir nulled, vacuum_dir retained), directory NOT deleted
+    cf = t._commit_file(1)
+    with open(cf) as f:
+        c = _json.load(f)
+    assert c["data_dir"]
+    c["vacuum_dir"] = c["data_dir"]
+    c["data_dir"] = None
+    c["vacuumed"] = True
+    t._rewrite_commit(c)
+    leaked = c["vacuum_dir"]
+    assert os.path.isdir(leaked)
+
+    # readers see the clean vacuumed error, not a parquet read failure
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(as_of_version=1)
+
+    # the next vacuum finishes the interrupted deletion AND vacuums the rest
+    removed = t.vacuum()
+    assert not os.path.isdir(leaked)
+    assert 2 in removed and 3 in removed
+    with open(cf) as f:
+        assert "vacuum_dir" not in _json.load(f)
+    # current snapshot unaffected
+    assert t.read().count() == 3
