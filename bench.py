@@ -190,11 +190,11 @@ def main() -> None:
 
     # warm each query's JVM/codegen path once on the smallest SF so measured
     # times reflect steady-state execution, not first-call JIT noise (cold
-    # first runs measured 3-8x slower than warm on identical plans)
+    # first runs measured 3-8x slower than warm on identical plans) — via
+    # the SAME body the timed runs use, so the clone/count path is what
+    # gets JIT-warmed
     for name in HEADLINE:
-        specs[name].fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
+        execute_prepared(specs[name].fn(spark, "/root/testdata/sf0.001"))
 
     # drop warmup-run caches, then isolate each timed query: clearing the
     # cache between queries keeps one operator's cached intermediates from
