@@ -145,9 +145,19 @@ _JACCARD_T = 0.5
 )
 def q21_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    # cache_shingles=False (round 7, A/B'd at THREE scales): the digest
+    # array is a cheap scan-side md5 projection, and the exact-collapse
+    # pass shrinks high-dup corpora before it runs — recomputing it for
+    # the second consumer beat materializing a docs-sized cache at every
+    # point measured (sf0.1 0.46→0.28, x10 0.82→0.53, x100 1.79→1.43,
+    # interleaved min-of-N). The uncached plan is also cache-binding-free,
+    # so prepared-plan re-execution applies to it like any other query.
+    # The flag stays for compositions whose shingle projection is genuinely
+    # expensive (normalization-heavy or python-stage inputs).
     return minhash_near_dups(
         docs, "doc_id", "text",
         n=3, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=_JACCARD_T,
+        cache_shingles=False,
     )
 
 
@@ -774,11 +784,14 @@ def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     # ARRAY form (operators/dedup.py module docstring): one docs-sized
     # table carries both the shingle set and the k signature columns, and
     # feeds every consumer (banding, both estimate sides, both exact
-    # sides) — persist it once. Estimate = signature-slot agreement;
-    # exact = array_intersect inside the joined pair row. Zero
-    # shingle-level shuffles.
-    from pyspark import StorageLevel
-
+    # sides). Estimate = signature-slot agreement; exact = array_intersect
+    # inside the joined pair row. Zero shingle-level shuffles.
+    # UNPERSISTED (round 7, same A/B discipline as q21's cache flip): the
+    # signature projection is scan-side digest math, and recomputing it
+    # per consumer beat materializing docs-sized caches at both measured
+    # scales (sf0.1 0.41→0.24, x10 0.72→0.30, interleaved min-of-7,
+    # identical results incl. the collapse path) — and the persist-free
+    # plan is cache-binding-free, so prepared-plan re-execution applies.
     from feature_store_test_spark.operators.dedup import has_duplicate_sets
 
     # ADAPTIVE exact-collapse (operators/dedup.py minhash_near_dups): the
@@ -799,15 +812,11 @@ def q111_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     arr0 = shingle_digest_array(docs, "doc_id", "text", n=3)
     collapse = has_duplicate_sets(arr0, "doc_id", "hs", min_frac=0.05)
     if collapse:
-        arr0 = arr0.persist(StorageLevel.MEMORY_AND_DISK)
         groups, reps = exact_collapse(arr0, "doc_id", "hs")
-        groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
         base = reps
     else:
         base = arr0
-    sigs = minhash_signatures_digests(
-        base, "doc_id", "hs", k=k, keep_cols=["hs"]
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures_digests(base, "doc_id", "hs", k=k, keep_cols=["hs"])
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=k, bands=_MINHASH_BANDS)
     # single-parse projections (round-6 construction shave: each
     # DataFrame op re-analyzes the whole accumulated tree JVM-side, and
