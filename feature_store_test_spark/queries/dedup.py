@@ -1129,6 +1129,8 @@ def q152_max_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_covered_tokens", F.lit(0)).alias("n_covered_tokens"),
             F.coalesce("max_run_len", F.lit(0)).alias("max_run_len"),
         )
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
+        # no trailing presentation sort: per-document output grows with the
+        # corpus, and a repartition(1) here is one task holding every doc's
+        # stats at 100 TB (q106/q88 precedent; the harness sorts rows
+        # itself before hashing)
     )

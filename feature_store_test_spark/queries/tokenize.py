@@ -111,8 +111,7 @@ def q150_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, COUNT(*)::BIGINT AS n_words,
-           SUM(f.n_sub)::BIGINT AS n_bpe_tokens,
-           ROUND(SUM(f.n_sub)::DOUBLE / COUNT(*), 6) AS toks_per_word
+           SUM(f.n_sub)::BIGINT AS n_bpe_tokens
     FROM docw JOIN final f ON w = f.word
     GROUP BY doc_id ORDER BY doc_id
     """,
@@ -124,6 +123,13 @@ def q151_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_rows = [(w, len(t)) for w, t in sorted(seg.items())]
     seg_df = spark.createDataFrame(seg_rows, "word string, n_sub long")
     docs = load_table(spark, "documents", sf_dir)
+    # No rounded toks_per_word ratio column: Spark's ROUND(double, 6)
+    # (HALF_UP on the shortest-decimal string) and DuckDB's (scaled-binary)
+    # can diverge at the 6th decimal on tie-adjacent ratios — above the
+    # harness's 9-dp normalization (r7 ADVICE). The exact integer pair
+    # (n_bpe_tokens, n_words) carries the same information. No trailing
+    # presentation sort either: per-document output grows with the corpus
+    # (q106/q88 precedent; the harness sorts rows itself before hashing).
     return (
         bpe.corpus_words(docs)
         .join(F.broadcast(seg_df), "word")
@@ -131,8 +137,5 @@ def q151_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
             F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
-            F.round(F.sum("n_sub") / F.count(F.lit(1)), 6).alias("toks_per_word"),
         )
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
     )

@@ -519,6 +519,12 @@ class VersionedParquetTable:
                 if not os.path.exists(c["vacuum_dir"]):
                     c.pop("vacuum_dir")
                     self._rewrite_commit(c)
+                    # a retried completion IS a vacuum of this version: the
+                    # crashed call never reported it, so the caller-visible
+                    # "list of vacuumed version ids" must (r7 ADVICE — a
+                    # mid-rmtree-crashed version was otherwise reported by
+                    # neither the crashed call nor the retry)
+                    removed.append(c["version"])
                 continue
             if c["version"] <= base and c.get("data_dir"):
                 # TOMBSTONE FIRST, then delete (round 7): the old

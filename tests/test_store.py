@@ -851,6 +851,9 @@ def test_vacuum_crash_window_is_clean_and_retryable(spark, tmp_path):
     removed = t.vacuum()
     assert not os.path.isdir(leaked)
     assert 2 in removed and 3 in removed
+    # the retried completion is reported too (r8: the crashed call never
+    # returned, so this call's list is the only place version 1 can appear)
+    assert 1 in removed
     with open(cf) as f:
         assert "vacuum_dir" not in _json.load(f)
     # current snapshot unaffected
