@@ -136,11 +136,25 @@ def main() -> None:
     # The 10x replica keeps AQE ON with the wider layout (32 partitions,
     # 4 MB splits): there runtime coalescing/skew handling is the point,
     # which is exactly the 100 TB configuration story.
-    def _set_profile(sh: int, split_bytes: int, aqe: bool, open_cost: int) -> None:
+    def _set_profile(
+        sh: int, split_bytes: int, aqe: bool, open_cost: int, prefer_smj: bool
+    ) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(sh))
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
         spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
+        # Base profile prefers shuffle-hash over sort-merge (round 8):
+        # at sf0.1 every equi-join side fits its partition in memory, so
+        # SMJ's two sorts are pure cost (among the 30 headliners exactly
+        # ONE plan changes — q42's fact-fact join drops 2 sorts,
+        # interleaved A/B −0.05..−0.08s; all others already hash-join via
+        # hints or broadcast). The scale profile keeps the SMJ default:
+        # SHJ's per-partition build must fit executor memory, which a
+        # 100 TB fact-fact join does not guarantee — there AQE +
+        # sort-merge is the safe plan.
+        spark.conf.set(
+            "spark.sql.join.preferSortMergeJoin", str(prefer_smj).lower()
+        )
 
     # Round-5 A/B over the whole headline set (min-merged of 2 full runs
     # each, quiet box): shuffle partitions 8 -> 4 and openCostInBytes
@@ -149,8 +163,8 @@ def main() -> None:
     # Both follow the same size-to-the-data discipline: at sf0.1 a
     # post-shuffle stage holds ~KBs per partition, so fewer+fatter tasks
     # shed pure per-task floor; the scale profile keeps narrow splits.
-    BASE_PROFILE = (4, 32 * 1024 * 1024, False, 2 * 1024 * 1024)
-    SCALE_PROFILE = (32, 4 * 1024 * 1024, True, 512 * 1024)
+    BASE_PROFILE = (4, 32 * 1024 * 1024, False, 2 * 1024 * 1024, False)
+    SCALE_PROFILE = (32, 4 * 1024 * 1024, True, 512 * 1024, True)
     _set_profile(*BASE_PROFILE)
     specs = all_queries()
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from feature_store_test_spark.data import load_table as load_table_plain
 from feature_store_test_spark.data import load_table_spread as load_table
 from feature_store_test_spark.operators.multimodal import (
     blob_meta,
@@ -21,8 +22,17 @@ from feature_store_test_spark.operators.multimodal import (
 from feature_store_test_spark.registry import register
 
 
-def _docs_with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+def _docs_with_blob(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    # spread=True feeds the REAL-codec stages, whose min_tasks=cores clamp
+    # keeps every core decoding — there the round-robin exchange IS the
+    # parallelism. spread=False is for stages that byte-size themselves
+    # DOWN (extract_features has no CPU clamp): at sf0.1 they coalesce to
+    # 1 task, so a spread exchange upstream would be written and read
+    # back for nothing (see the q28 note in queries/similarity.py).
+    loader = load_table if spread else load_table_plain
+    docs = loader(spark, "documents", sf_dir)
     return docs.withColumn("blob", F.encode(F.col("text"), "utf-8"))
 
 
@@ -118,7 +128,7 @@ def q32_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "udf", "embedding"),
 )
 def q88_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs_with_blob(spark, sf_dir)
+    df = _docs_with_blob(spark, sf_dir, spread=False)
     emb = extract_features(df, blob_col="blob", id_col="doc_id", dim=16, fake=True)
     sq = F.aggregate(
         "embedding", F.lit(0.0), lambda acc, x: acc + x * x

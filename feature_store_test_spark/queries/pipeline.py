@@ -407,7 +407,11 @@ def q95_source_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "decontamination", "dedup", "join"),
 )
 def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).select(
+    # PLAIN loader (round 8): the codegen ||-concat gram build made the
+    # per-row work cheap enough that the spread exchange flipped from win
+    # to cost under the pure-execution protocol — 8-pass interleaved A/B
+    # at sf0.1: plain 0.332 vs spread 0.401
+    docs = load_table_plain(spark, "documents", sf_dir).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     # three consumers re-scan the (column-pruned) parquet; persisting the

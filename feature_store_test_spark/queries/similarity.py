@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from feature_store_test_spark.data import load_table as load_table_plain
 from feature_store_test_spark.data import load_table_spread as load_table
 from feature_store_test_spark.operators.similarity import (
     cosine,
@@ -53,7 +54,14 @@ def q28_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted fold form (tests/test_similarity.py) and ~5-9x faster on
     # corpus scans — the fold form stays the semantics exemplar for small
     # request paths; the brute-force BASELINE must be the BLAS shape.
-    emb = load_table(spark, "embeddings", sf_dir)
+    # PLAIN loader (round 8): cosine_topk_arrow sizes its own Python stage
+    # by input bytes (python_stage_tasks coalesce), so a spread exchange
+    # upstream is contradictory — at sf0.1 the byte sizing picks 1 task
+    # and the 32-way round-robin shuffle was written and read back for
+    # nothing (whole stage fuses to scan→GEMM→window, zero exchanges,
+    # measured q28 0.55→0.30s); at 10×/100× the multi-file replicas
+    # disable spread anyway.
+    emb = load_table_plain(spark, "embeddings", sf_dir)
     return cosine_topk_arrow(
         corpus=emb,
         queries=emb.where(F.col("vec_id") < 20),
@@ -488,7 +496,9 @@ def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q123_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_test_spark.operators.similarity import cosine_topk_arrow
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    # plain loader: the GEMM scorer byte-sizes its own Python stage —
+    # see the q28 note
+    emb = load_table_plain(spark, "embeddings", sf_dir)
     return cosine_topk_arrow(
         corpus=emb,
         queries=emb.where(F.col("vec_id") < 20),

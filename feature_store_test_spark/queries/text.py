@@ -139,7 +139,12 @@ def q25_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "agg"),
 )
 def q26_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    # PLAIN loader (round 8): under the pure-execution protocol the spread
+    # exchange no longer pays for one regexp count fused into the scan —
+    # 8-pass interleaved A/B at sf0.1: plain 0.124 vs spread 0.204
+    from feature_store_test_spark.data import load_table as _plain
+
+    docs = _plain(spark, "documents", sf_dir)
     tc = Tx.bpe_ish_token_count("text")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
