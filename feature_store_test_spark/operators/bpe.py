@@ -128,6 +128,11 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> tuple[str, ...]:
     Equivalent to the HF BPE encode loop for merge tables produced by
     ``train_bpe`` (see module docstring); for corpus words it reproduces
     the training-state segmentation bit-for-bit (test-pinned).
+
+    SEMANTICS EXEMPLAR: O(n_merges × |word|) — it scans the full merge
+    list per word, fine at the declared 48-200 merges, quadratic pain at
+    a production 32k-merge vocab. Serving paths use ``encode_word_fast``
+    (equivalence test-pinned).
     """
     toks = tuple(word)
     for a, b in merges:
@@ -135,6 +140,119 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> tuple[str, ...]:
             break
         toks = _merge_once(toks, a, b)
     return toks
+
+
+def merge_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    """pair → rank lookup for ``encode_word_fast`` (build once per table)."""
+    return {p: i for i, p in enumerate(merges)}
+
+
+def encode_word_fast(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> tuple[str, ...]:
+    """Rank-priority encode — the HF tokenizers inner loop: repeatedly
+    merge the present pair with the LOWEST trained rank until none of the
+    word's adjacent pairs is in the table.
+
+    O(|word| × passes) with passes ≤ |word|, independent of merge-table
+    size — the shape that stays fast at a production 32k-merge vocab.
+    Output-identical to ``encode_word`` for tables trained by this loop
+    (module docstring: merge k's parts are only produced by merges < k
+    and a merged pair never re-appears, so applying the lowest present
+    rank exhaustively can never enable a lower rank) — pinned by
+    tests/test_bpe.py against random words including unseen ones.
+    """
+    toks: tuple[str, ...] = tuple(word)
+    while len(toks) > 1:
+        best: tuple[str, str] | None = None
+        best_rank = len(ranks)
+        for i in range(len(toks) - 1):
+            r = ranks.get((toks[i], toks[i + 1]))
+            if r is not None and r < best_rank:
+                best_rank = r
+                best = (toks[i], toks[i + 1])
+        if best is None:
+            break
+        toks = _merge_once(toks, best[0], best[1])
+    return toks
+
+
+def train_bpe_fast(
+    counts: list[tuple[str, int]], n_merges: int = DEFAULT_N_MERGES
+) -> tuple[list[tuple[str, str]], dict[str, tuple[str, ...]]]:
+    """Incremental BPE trainer — output-identical to ``train_bpe``
+    (equivalence test-pinned), O(affected words) per merge instead of
+    O(all vocab tokens):
+
+    - global pair counts are maintained incrementally: merging (a, b)
+      re-counts ONLY the words that currently contain the pair (tracked
+      in an occurrence index), subtracting their old adjacencies and
+      adding the new ones;
+    - the deterministic best pair (count DESC, pair ASC — the same
+      tie-break the recursive-CTE oracle replays) comes from a
+      lazy-deletion max-heap: every count change pushes a fresh entry,
+      and stale entries are skipped when popped by comparing against the
+      live count. A popped entry equal to the live count is valid by
+      definition, whatever its push history.
+
+    This is the classic production-trainer optimization (HF tokenizers /
+    the original subword-nmt trainer); at a 32k-merge vocab the naive
+    loop re-scans every vocab token 32k times while this touches each
+    word only when one of its pairs wins.
+    """
+    import heapq
+
+    from collections import defaultdict
+
+    seg: dict[str, tuple[str, ...]] = {w: tuple(w) for w, _ in counts}
+    freq = dict(counts)
+    pc: Counter[tuple[str, str]] = Counter()
+    occ: dict[tuple[str, str], set[str]] = defaultdict(set)
+    for w, toks in seg.items():
+        c = freq[w]
+        for i in range(len(toks) - 1):
+            p = (toks[i], toks[i + 1])
+            pc[p] += c
+            occ[p].add(w)
+    heap: list[tuple[int, tuple[str, str]]] = [(-c, p) for p, c in pc.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        if pc.get(best, 0) != -negc or negc == 0:
+            continue  # stale heap entry (count changed since push)
+        merges.append(best)
+        a, b = best
+        touched: set[tuple[str, str]] = set()
+        for w in list(occ.get(best, ())):
+            toks = seg[w]
+            # the occurrence index is maintained lazily: w may no longer
+            # contain the pair (an earlier merge consumed it)
+            if not any(
+                toks[i] == a and toks[i + 1] == b for i in range(len(toks) - 1)
+            ):
+                occ[best].discard(w)
+                continue
+            cw = freq[w]
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                pc[p] -= cw
+                touched.add(p)
+            new = _merge_once(toks, a, b)
+            seg[w] = new
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pc[p] += cw
+                touched.add(p)
+                occ[p].add(w)
+        occ.pop(best, None)
+        for p in touched:
+            c = pc.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+            elif c <= 0:
+                pc.pop(p, None)
+    return merges, seg
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +299,7 @@ def trained_bpe(
             (r["word"], r["cnt"])
             for r in word_counts(docs).orderBy("word").collect()
         ]
-        hit = train_bpe(counts, n_merges)
+        hit = train_bpe_fast(counts, n_merges)
         if len(_train_cache) >= _TRAIN_CACHE_MAX:
             _train_cache.pop(next(iter(_train_cache)))
         _train_cache[key] = hit
@@ -208,7 +326,7 @@ def bpe_encode_column(
     """
     from pyspark.sql.functions import pandas_udf
 
-    mt = list(merges)
+    ranks = merge_ranks(merges)
 
     @pandas_udf("long")
     def _count(texts: pd.Series) -> pd.Series:
@@ -221,7 +339,7 @@ def bpe_encode_column(
             for w in re.findall("[a-z]+", (t or "").lower()):
                 n = memo.get(w)
                 if n is None:
-                    n = len(encode_word(w, mt))
+                    n = len(encode_word_fast(w, ranks))
                     memo[w] = n
                 total += n
             return total

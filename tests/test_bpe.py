@@ -98,6 +98,63 @@ def test_early_stop_when_pairs_exhaust():
     assert seg["ab"] == ("ab",)
 
 
+@given(st.lists(st.tuples(words, st.integers(1, 9)), min_size=1, max_size=16))
+@settings(max_examples=80, deadline=None)
+def test_fast_trainer_equals_naive(counts):
+    """train_bpe_fast (incremental pair counts + lazy max-heap) is
+    output-IDENTICAL to the naive trainer: same merge list (order
+    included — the count DESC / pair ASC tie-break the oracle replays)
+    and same final segmentation, at every vocab the strategy generates,
+    including adversarial repeats (aaaa) and overlapping pairs (abab)."""
+    uniq = {}
+    for w, c in counts:
+        uniq[w] = uniq.get(w, 0) + c
+    counts = sorted(uniq.items())
+    for n_merges in (3, 12, 100):  # mid-stream and to-exhaustion
+        m1, s1 = bpe.train_bpe(counts, n_merges)
+        m2, s2 = bpe.train_bpe_fast(counts, n_merges)
+        assert m1 == m2
+        assert s1 == s2
+
+
+def test_fast_trainer_equals_naive_handcrafted():
+    # overlapping pair consuming its own occurrences: [a,a,a,a]
+    for counts in (
+        [("aaaa", 2)],
+        [("abab", 1), ("baba", 1)],
+        [("aaab", 3), ("abab", 3), ("ba", 7)],
+        [("ab", 1)],
+    ):
+        assert bpe.train_bpe(counts, 50) == bpe.train_bpe_fast(counts, 50)
+
+
+@given(words)
+@settings(max_examples=60, deadline=None)
+def test_fast_encode_equals_rank_order(w):
+    """encode_word_fast (rank-priority loop, merge-table-size independent)
+    == encode_word == the HF reference loop, on unseen words too."""
+    merges, _ = bpe.train_bpe_fast(
+        [("abab", 5), ("abcd", 3), ("ddc", 2), ("babab", 1), ("aaa", 4)],
+        n_merges=20,
+    )
+    ranks = bpe.merge_ranks(merges)
+    assert bpe.encode_word_fast(w, ranks) == bpe.encode_word(w, merges)
+    assert bpe.encode_word_fast(w, ranks) == _hf_encode(w, merges)
+
+
+def test_fast_trainer_equals_naive_on_fixture_vocab(spark, sf_dir):
+    """End-to-end on the real fixture vocabulary (the table trained_bpe
+    actually collects), at the registered merge budget and deeper."""
+    from feature_store_test_spark.data import load_table_spread
+
+    docs = load_table_spread(spark, "documents", sf_dir)
+    counts = sorted(
+        (r["word"], r["cnt"]) for r in bpe.word_counts(docs).collect()
+    )
+    for n in (bpe.DEFAULT_N_MERGES, 500):
+        assert bpe.train_bpe(counts, n) == bpe.train_bpe_fast(counts, n)
+
+
 def test_distributed_word_count_matches_local(spark, sf_dir):
     from feature_store_test_spark.data import load_table_spread
     import re
