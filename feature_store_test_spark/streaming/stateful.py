@@ -208,7 +208,108 @@ def _session_fold(gap_ms: int):
     return fold
 
 
-def stateful_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+# K-open-interval state (round 8, r7 verdict item 6): the single-interval
+# sessionizer emits every non-latest merged interval IMMEDIATELY — bounded
+# state, but under heavy cross-batch skew a key whose events alternate
+# between two far-apart time regions emits sessions a batch sessionizer
+# would have merged. The multi-interval state holds up to K disjoint open
+# intervals (K small and fixed — still bounded state), closing each only
+# when the WATERMARK passes its end + gap; only past-K overflow is emitted
+# eagerly (earliest interval first). With K large enough for the skew
+# depth, streaming output is bit-identical to batch sessionization
+# (test-pinned under the deep-skew fixture).
+MULTI_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("starts", T.ArrayType(T.TimestampType())),
+        T.StructField("ends", T.ArrayType(T.TimestampType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _session_fold_multi(gap_ms: int, max_open: int):
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        import datetime as _dt
+
+        gap = _dt.timedelta(milliseconds=gap_ms)
+
+        def _py(ts):
+            return ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+
+        def _close_at(end) -> int:
+            # same UTC-explicit epoch conversion as the single-interval
+            # fold (code-review r7: naive .timestamp() skews by the OS tz)
+            return (
+                int(end.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+                + gap_ms
+            )
+
+        ivals: list[tuple] = []
+        if state.exists:
+            starts, ends, ns = state.get
+            ivals += [
+                (_py(s), _py(e), int(n)) for s, e, n in zip(starts, ends, ns)
+            ]
+        if not state.hasTimedOut:
+            ivals += [
+                (_py(ts), _py(ts), 1) for pdf in pdfs for ts in pdf["ts"]
+            ]
+        ivals.sort(key=lambda t: (t[0], t[1]))
+        merged: list[list] = []
+        for s, e, n in ivals:
+            if merged and s <= merged[-1][1] + gap:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += n
+            else:
+                merged.append([s, e, n])
+
+        wm = state.getCurrentWatermarkMs()
+        closed: list[list] = []
+        keep: list[list] = []
+        for iv in merged:
+            # STRICTLY below the watermark, same tie rule as the single
+            # fold: an event at ts == close_at == wm is not late and
+            # still joins
+            (closed if _close_at(iv[1]) < wm else keep).append(iv)
+        # bounded state: only past-K overflow closes eagerly; merged (and
+        # hence keep) is sorted by start and the intervals are > gap
+        # apart, so the FRONT of the list is the earliest-ending one —
+        # the interval least likely to see further admissible events
+        while len(keep) > max_open:
+            closed.append(keep.pop(0))
+
+        out = {
+            "user_id": [key[0]] * len(closed),
+            "session_start": [s for s, _, _ in closed],
+            "session_end": [e for _, e, _ in closed],
+            "n_events": [n for _, _, n in closed],
+        }
+        if keep:
+            state.update(
+                (
+                    [s for s, _, _ in keep],
+                    [e for _, e, _ in keep],
+                    [n for _, _, n in keep],
+                )
+            )
+            # wake when the EARLIEST-closing kept interval passes its
+            # close_at (same +1 / wm+1 conventions as the single fold)
+            min_close = min(_close_at(e) for _, e, _ in keep)
+            state.setTimeoutTimestamp(max(min_close + 1, wm + 1))
+        else:
+            state.remove()
+        yield pd.DataFrame(out)
+
+    return fold
+
+
+def stateful_sessions(
+    events: DataFrame, gap: str = "30 minutes", max_open_intervals: int = 1
+) -> DataFrame:
     """events(user_id, ts, ...) [streaming, watermarked on ts] → closed
     sessions (start, end, n_events) per user, gap-separated.
 
@@ -218,14 +319,31 @@ def stateful_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     passes end + gap with no new data (``state.hasTimedOut`` — the state
     expiry path that keeps per-key memory bounded at 100 TB/day). Append
     mode: each session emits exactly once, when it closes.
+
+    ``max_open_intervals``: 1 (default) keeps the original single-interval
+    state and its documented eager-close trade under deep cross-batch
+    skew; K > 1 holds up to K disjoint open intervals per key (array
+    state, still bounded) and closes sessions only at the watermark or on
+    past-K overflow — bit-parity with batch sessionization whenever K
+    covers the skew depth. The two paths use DIFFERENT state schemas; a
+    checkpoint written by one cannot restore into the other (it fails
+    loudly — the pinned schema-drift behavior).
     """
     unit = {"minutes": 60_000, "minute": 60_000, "seconds": 1_000, "second": 1_000}
     qty, u = gap.split()
     gap_ms = int(qty) * unit[u]
+    if max_open_intervals <= 1:
+        return events.groupBy("user_id").applyInPandasWithState(
+            _session_fold(gap_ms),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     return events.groupBy("user_id").applyInPandasWithState(
-        _session_fold(gap_ms),
+        _session_fold_multi(gap_ms, max_open_intervals),
         outputStructType=SESSION_OUTPUT_SCHEMA,
-        stateStructType=SESSION_STATE_SCHEMA,
+        stateStructType=MULTI_SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

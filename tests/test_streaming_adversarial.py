@@ -51,7 +51,9 @@ def _write_batches(spark, src: str, batches: list[list[tuple]]) -> None:
         )
 
 
-def _run_sessions(spark, tmp_path, batches, gap="30 minutes", delay="2 hours"):
+def _run_sessions(
+    spark, tmp_path, batches, gap="30 minutes", delay="2 hours", max_open=1
+):
     from feature_store_test_spark.streaming.stateful import stateful_sessions
 
     src = str(tmp_path / "src")
@@ -64,7 +66,7 @@ def _run_sessions(spark, tmp_path, batches, gap="30 minutes", delay="2 hours"):
     )
     out = str(tmp_path / "out")
     q = (
-        stateful_sessions(stream, gap=gap)
+        stateful_sessions(stream, gap=gap, max_open_intervals=max_open)
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -105,6 +107,68 @@ def test_cross_batch_deep_skew_eager_close_is_deterministic(spark, tmp_path):
         [(1, _t(300))],                # closes the open session
     ]
     got = _run_sessions(spark, tmp_path, batches)
+    assert (1, _t(0), _t(0), 1) in got
+    assert (1, _t(100), _t(101), 2) in got
+
+
+def _batch_sessionize(events, gap_min=30):
+    """Reference batch sessionization: global per-user interval merge."""
+    out = []
+    by_user: dict = {}
+    for u, ts in events:
+        by_user.setdefault(u, []).append(ts)
+    for u, tss in sorted(by_user.items()):
+        tss.sort()
+        s = e = tss[0]
+        n = 1
+        for ts in tss[1:]:
+            if (ts - e).total_seconds() <= gap_min * 60:
+                e, n = ts, n + 1
+            else:
+                out.append((u, s, e, n))
+                s, e, n = ts, ts, 1
+        out.append((u, s, e, n))
+    return sorted(out)
+
+
+def test_multi_interval_state_bit_parity_with_batch_under_deep_skew(
+    spark, tmp_path
+):
+    """r7 verdict item 6: with max_open_intervals=2 the deep-skew fixture
+    that the single-interval state splits (an event landing > gap BEFORE
+    the open session, then a second event merging with it) produces
+    EXACTLY the batch sessionization of the closed prefix — the early
+    region [10:00, 10:20] survives as open state until its own watermark
+    close instead of being emitted at first sight."""
+    batches = [
+        [(1, _t(100)), (1, _t(101))],  # open session [11:40, 11:41]
+        [(1, _t(0))],                  # deep skew: 100 min earlier
+        [(1, _t(20))],                 # merges with 10:00 under K=2
+        [(1, _t(300))],                # wm -> 10:00+180-120 = t(180)
+        [(1, _t(600))],                # wm -> t(480): closes [300]
+    ]
+    got = _run_sessions(spark, tmp_path, batches, max_open=2)
+    events = [ev for b in batches for ev in b]
+    expected = _batch_sessionize(events)
+    # every emitted session must be a batch session (bit parity on the
+    # closed prefix; the final interval [600, 600] may stay open at
+    # availableNow termination)
+    assert set(got) <= set(expected)
+    # and the two sessions the K=1 trade would have mangled are closed:
+    assert (1, _t(0), _t(20), 2) in got     # K=1 emits (0,0,1)+(20,20,1)
+    assert (1, _t(100), _t(101), 2) in got
+    assert (1, _t(0), _t(0), 1) not in got
+
+
+def test_multi_interval_k1_matches_single_interval_contract(spark, tmp_path):
+    """K=1 keeps the original single-interval fold (and state schema):
+    the deep-skew fixture reproduces the documented eager-close split."""
+    batches = [
+        [(1, _t(100)), (1, _t(101))],
+        [(1, _t(0))],
+        [(1, _t(300))],
+    ]
+    got = _run_sessions(spark, tmp_path, batches, max_open=1)
     assert (1, _t(0), _t(0), 1) in got
     assert (1, _t(100), _t(101), 2) in got
 
