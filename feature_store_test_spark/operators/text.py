@@ -164,3 +164,79 @@ def feature_hash_sparse(
         .agg(F.sum("__s").cast("bigint").alias("weight"))
         .where(F.col("weight") != 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML / boilerplate extraction (round 8): the C4/RefinedWeb "extract main
+# content" stage that runs BEFORE every quality filter this module already
+# implements. Reference-independent (the reference repo has no web-text
+# handling); the fixture has no HTML column, so queries synthesize a
+# deterministic HTML-wrapped twin of each document (a pure string function
+# of its columns) and both engines run the identical strip pipeline on it.
+# ---------------------------------------------------------------------------
+
+# block containers whose CONTENT is boilerplate (head swallows title/style;
+# the rest are the classic non-content landmarks). Removed with non-greedy
+# [\s\S]*? spans — no backreferences, so the same patterns run on Java
+# regex (Spark) and RE2 (DuckDB).
+BOILERPLATE_BLOCKS = ("head", "script", "style", "nav", "header", "footer", "aside")
+
+
+def wrap_html(
+    doc_id: str | Column = "doc_id",
+    text: str | Column = "text",
+    lang: str | Column = "lang",
+) -> Column:
+    """Deterministic HTML twin of a document row: the real text inside
+    <article>, surrounded by title/style/nav/header/aside/footer/script
+    boilerplate derived from the same row. Mirrored 1:1 by the q153
+    oracle's SQL concat."""
+    did = (F.col(doc_id) if isinstance(doc_id, str) else doc_id).cast("string")
+    did1 = (
+        (F.col(doc_id) if isinstance(doc_id, str) else doc_id) + F.lit(1)
+    ).cast("string")
+    txt = F.col(text) if isinstance(text, str) else text
+    lng = F.col(lang) if isinstance(lang, str) else lang
+    return F.concat(
+        F.lit("<html><head><title>doc "), did,
+        F.lit("</title><style>body { color: #222; }</style></head>"),
+        F.lit('<body><nav><a href="/">home</a> <a href="/docs">docs</a>'
+              ' <a href="/about">about</a></nav>'),
+        F.lit("<header><h1>corpus site</h1></header><article><p>"), txt,
+        F.lit("</p><p>tags &amp; notes for lang "), lng,
+        F.lit("</p></article><aside>related: doc "), did1,
+        F.lit("</aside><footer>copyright 2024 example corp</footer>"),
+        F.lit("<script>var docId = "), did,
+        F.lit(";</script></body></html>"),
+    )
+
+
+def extract_main_content(html: Column) -> Column:
+    """Main-content extraction as a pure codegen regexp chain (the
+    established transcendental-free / no-Python discipline):
+
+    1. drop boilerplate BLOCKS (content and tags) — head, script, style,
+       nav, header, footer, aside;
+    2. strip every remaining tag to a space (block boundaries must not
+       glue words together);
+    3. decode the five standard entities (&amp; last, so literal
+       sequences like "&amp;lt;" decode once, same order both engines);
+    4. collapse whitespace runs and trim.
+
+    Every pattern avoids backreferences and inline flags ([\\s\\S] instead
+    of DOTALL), so Spark's Java regex and DuckDB's RE2 execute the exact
+    same automaton — the q153 oracle replays this chain verbatim in SQL.
+    """
+    s = html
+    for tag in BOILERPLATE_BLOCKS:
+        s = F.regexp_replace(s, f"<{tag}[^>]*>[\\s\\S]*?</{tag}>", " ")
+    s = F.regexp_replace(s, "<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, "\\s+", " "))

@@ -462,3 +462,74 @@ def q120_corpus_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__rare") / F.col("n_tokens")).alias("rare_frac"),
         (F.col("__rare") / F.col("n_tokens") > 0.2).alias("is_rare_heavy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q153 — HTML / boilerplate extraction (round 8, r7 verdict item 7): the
+# C4/RefinedWeb "extract main content" stage. The fixture has no HTML, so
+# the query synthesizes a deterministic HTML twin of every document (pure
+# string function of its columns — operators/text.wrap_html) and runs the
+# native-regexp strip pipeline (extract_main_content); the oracle replays
+# BOTH steps verbatim in SQL, so the hash check covers synthesis +
+# extraction end-to-end. No Python, no backreferences, no inline regex
+# flags — Java regex and RE2 execute the same automata.
+# ---------------------------------------------------------------------------
+_Q153_BLOCK_CTES = "".join(
+    f", s{i+1} AS (SELECT doc_id, text, html, regexp_replace(s, "
+    f"'<{tag}[^>]*>[\\s\\S]*?</{tag}>', ' ', 'g') AS s FROM s{i})"
+    for i, tag in enumerate(
+        ("head", "script", "style", "nav", "header", "footer", "aside")
+    )
+)
+
+
+@register(
+    "q153_html_extract",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, text,
+        '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+        '</title><style>body { color: #222; }</style></head>' ||
+        '<body><nav><a href="/">home</a> <a href="/docs">docs</a>' ||
+        ' <a href="/about">about</a></nav>' ||
+        '<header><h1>corpus site</h1></header><article><p>' || text ||
+        '</p><p>tags &amp; notes for lang ' || lang ||
+        '</p></article><aside>related: doc ' || CAST(doc_id + 1 AS VARCHAR) ||
+        '</aside><footer>copyright 2024 example corp</footer>' ||
+        '<script>var docId = ' || CAST(doc_id AS VARCHAR) ||
+        ';</script></body></html>' AS html
+      FROM documents
+    ),
+    s0 AS (SELECT doc_id, text, html, html AS s FROM h)
+    """
+    + _Q153_BLOCK_CTES
+    + """
+    , st AS (SELECT doc_id, text, html,
+             regexp_replace(s, '<[^>]+>', ' ', 'g') AS s FROM s7),
+    en AS (SELECT doc_id, text, html,
+           replace(replace(replace(replace(replace(s,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&amp;', '&') AS s FROM st),
+    m AS (SELECT doc_id, text, html,
+          trim(regexp_replace(s, '\\s+', ' ', 'g')) AS main FROM en)
+    SELECT doc_id,
+           CAST(length(html) AS INT) AS n_html_chars,
+           CAST(length(main) AS INT) AS n_main_chars,
+           md5(main) AS main_fp,
+           starts_with(main, text) AS main_starts_with_src
+    FROM m
+    """,
+    doc="HTML boilerplate extraction: synthesized HTML twin -> native regexp strip",
+    tags=("text", "html", "pipeline"),
+)
+def q153_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    html = Tx.wrap_html("doc_id", "text", "lang")
+    main = Tx.extract_main_content(html)
+    return docs.select(
+        "doc_id",
+        F.length(html).cast("int").alias("n_html_chars"),
+        F.length(main).cast("int").alias("n_main_chars"),
+        F.md5(main).alias("main_fp"),
+        main.startswith(F.col("text")).alias("main_starts_with_src"),
+    )

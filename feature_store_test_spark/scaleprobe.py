@@ -83,6 +83,15 @@ PROBED = [
     # item 6 asked for q149; q152 is the suffix-window span dedup)
     "q149_normalized_dedup",
     "q152_max_span_dedup",
+    # round 8 (r7 verdict item 5): the families the probe was missing —
+    # codec/python-stage task sizing (q88 — byte-sized task counts are
+    # exactly what 100x stresses), the BPE broadcast-join encode (q151),
+    # retrieval's ColBERT MaxSim lattice (q144; q134 BM25 was already
+    # probed), and the new HTML-extraction regexp chain (q153)
+    "q88_media_features",
+    "q151_bpe_token_counts",
+    "q144_maxsim_retrieval",
+    "q153_html_extract",
 ]
 
 

@@ -156,3 +156,47 @@ def test_bpe_and_maxspan_degenerate_oracle_parity(spark, tmp_path):
     }
     # wordless docs report zero coverage, empty-word docs absent from q151
     assert out[0]["n_covered_tokens"] == 0 and out[2]["n_covered_tokens"] == 0
+
+
+def test_q153_html_extract_adversarial_text(spark, tmp_path):
+    """q153 synthesizes HTML around the document text, so the adversarial
+    class is text that LOOKS like markup: literal tags, entities, braces,
+    quotes, empty/whitespace text. Both engines run the identical
+    synthesis + strip pipeline, so outputs must hash-match even when the
+    'extraction' of such a document is lossy by construction."""
+    import duckdb
+
+    rows = [
+        (0, "", "en", "s", 0),
+        (1, "   ", "en", "s", 3),
+        (2, "plain words only here", "en", "s", 21),
+        (3, "evil <script>alert(1)</script> embedded", "de", "s", 39),
+        (4, "entity soup &amp; &lt;tag&gt; &quot;q&quot; &#39;a&#39;", "es", "s", 55),
+        (5, "closing </article> early and <footer>fake</footer>", "en", "s", 50),
+        (6, "braces { and } and <nav>menu</nav> inline", "de", "s", 41),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf + "/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    spec = all_queries()["q153_html_extract"]
+    got = sorted(tuple(r) for r in spec.fn(spark, sf).collect())
+    release_caches()
+    want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert got == want
+
+    # semantic spot checks on the clean row: boilerplate gone, text kept
+    out = {r["doc_id"]: r.asDict() for r in spec.fn(spark, sf).collect()}
+    release_caches()
+    assert out[2]["main_starts_with_src"] is True
+    import hashlib
+
+    main2 = "plain words only here tags & notes for lang en"
+    assert out[2]["main_fp"] == hashlib.md5(main2.encode()).hexdigest()
+    assert out[2]["n_main_chars"] == len(main2)
