@@ -211,12 +211,28 @@ def wrap_html(
     )
 
 
+_BLOCK_ALT = "(?:" + "|".join(BOILERPLATE_BLOCKS) + ")"
+# ONE fused alternation pass instead of seven per-tag passes: A/B'd 2.0x
+# at sf0.1 (0.34 -> 0.17s over the corpus; the 100x probe is regex-bound,
+# so this halves its dominant term). DECLARED SEMANTICS of the fusion: a
+# block ends at the FIRST closer of ANY boilerplate tag — the single-pass
+# streaming-extractor behavior. On flat, well-formed landmark blocks
+# (this module's synthesized HTML, and most real pages) it is identical
+# to per-tag removal; on NESTED landmarks (<header><nav>m</nav>title
+# </header>) it is LESS aggressive: the inner closer ends the block and
+# the residue ("title") survives as text once the stray tags strip.
+# Pinned cross-engine by the q153 oracle (same pattern, same automaton)
+# and by a nested-landmark adversarial test.
+BLOCK_STRIP_PATTERN = f"<{_BLOCK_ALT}[^>]*>[\\s\\S]*?</{_BLOCK_ALT}>"
+
+
 def extract_main_content(html: Column) -> Column:
     """Main-content extraction as a pure codegen regexp chain (the
     established transcendental-free / no-Python discipline):
 
     1. drop boilerplate BLOCKS (content and tags) — head, script, style,
-       nav, header, footer, aside;
+       nav, header, footer, aside — in one fused alternation pass (see
+       BLOCK_STRIP_PATTERN for the declared nested-landmark semantics);
     2. strip every remaining tag to a space (block boundaries must not
        glue words together);
     3. decode the five standard entities (&amp; last, so literal
@@ -227,9 +243,7 @@ def extract_main_content(html: Column) -> Column:
     of DOTALL), so Spark's Java regex and DuckDB's RE2 execute the exact
     same automaton — the q153 oracle replays this chain verbatim in SQL.
     """
-    s = html
-    for tag in BOILERPLATE_BLOCKS:
-        s = F.regexp_replace(s, f"<{tag}[^>]*>[\\s\\S]*?</{tag}>", " ")
+    s = F.regexp_replace(html, BLOCK_STRIP_PATTERN, " ")
     s = F.regexp_replace(s, "<[^>]+>", " ")
     for ent, ch in (
         ("&lt;", "<"),

@@ -174,6 +174,11 @@ def test_q153_html_extract_adversarial_text(spark, tmp_path):
         (4, "entity soup &amp; &lt;tag&gt; &quot;q&quot; &#39;a&#39;", "es", "s", 55),
         (5, "closing </article> early and <footer>fake</footer>", "en", "s", 50),
         (6, "braces { and } and <nav>menu</nav> inline", "de", "s", 41),
+        # nested landmarks: the fused single-pass block strip ends at the
+        # FIRST listed closer, so the inner <nav> closer ends the block
+        # and "site title" survives as text (declared semantics —
+        # operators/text.BLOCK_STRIP_PATTERN)
+        (7, "intro <header><nav>m</nav>site title</header> outro", "en", "s", 51),
     ]
     sf = str(tmp_path)
     spark.createDataFrame(
@@ -200,3 +205,6 @@ def test_q153_html_extract_adversarial_text(spark, tmp_path):
     main2 = "plain words only here tags & notes for lang en"
     assert out[2]["main_fp"] == hashlib.md5(main2.encode()).hexdigest()
     assert out[2]["n_main_chars"] == len(main2)
+    # nested-landmark residue survives per the declared fused semantics
+    main7 = "intro site title outro tags & notes for lang en"
+    assert out[7]["main_fp"] == hashlib.md5(main7.encode()).hexdigest()
