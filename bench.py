@@ -435,6 +435,11 @@ def main() -> None:
         from feature_store_test_spark.data import load_table_spread
         from feature_store_test_spark.operators import bpe as _bpe
 
+        # the replica legs run under the SCALE profile like every other
+        # 10x-replica timing in this file (code-review r8: they were
+        # measured under the toy BASE profile, a configuration the
+        # protocol itself declares wrong at that scale)
+        _set_profile(*SCALE_PROFILE)
         _docs10 = load_table_spread(spark, "documents", scale_dir)
         t0 = time.perf_counter()
         _counts10 = sorted(
@@ -451,6 +456,7 @@ def main() -> None:
             .collect()[0]["s"]
         )
         encode10x_sec = time.perf_counter() - t0
+        _set_profile(*BASE_PROFILE)
 
         _syl = [
             a + b

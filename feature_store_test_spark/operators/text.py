@@ -224,6 +224,9 @@ _BLOCK_ALT = "(?:" + "|".join(BOILERPLATE_BLOCKS) + ")"
 # Pinned cross-engine by the q153 oracle (same pattern, same automaton)
 # and by a nested-landmark adversarial test.
 BLOCK_STRIP_PATTERN = f"<{_BLOCK_ALT}[^>]*>[\\s\\S]*?</{_BLOCK_ALT}>"
+# whitespace run for the collapse pass — explicit class (incl. \x0B) so
+# Java regex and RE2 agree; see extract_main_content
+WS_RUN_PATTERN = "[ \\t\\n\\r\\f\\x0B]+"
 
 
 def extract_main_content(html: Column) -> Column:
@@ -253,4 +256,9 @@ def extract_main_content(html: Column) -> Column:
         ("&amp;", "&"),
     ):
         s = F.replace(s, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(s, "\\s+", " "))
+    # explicit whitespace class, NOT \s (code-review r8): Java's \s
+    # includes vertical tab U+000B while RE2's does not, so \s+ would
+    # break the same-automaton contract on a \x0B in the text. [\s\S] in
+    # the block pattern is immune (the union covers every char under
+    # either definition).
+    return F.trim(F.regexp_replace(s, WS_RUN_PATTERN, " "))

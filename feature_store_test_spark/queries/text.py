@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from feature_store_test_spark.data import load_table as load_table_plain
 from feature_store_test_spark.data import load_table_spread as load_table
 from feature_store_test_spark.operators import text as Tx
 from feature_store_test_spark.registry import register
@@ -142,9 +143,7 @@ def q26_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PLAIN loader (round 8): under the pure-execution protocol the spread
     # exchange no longer pays for one regexp count fused into the scan —
     # 8-pass interleaved A/B at sf0.1: plain 0.124 vs spread 0.204
-    from feature_store_test_spark.data import load_table as _plain
-
-    docs = _plain(spark, "documents", sf_dir)
+    docs = load_table_plain(spark, "documents", sf_dir)
     tc = Tx.bpe_ish_token_count("text")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -513,7 +512,7 @@ _Q153_BLOCK_CTES = (
              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
              '&amp;', '&') AS s FROM st),
     m AS (SELECT doc_id, text, html,
-          trim(regexp_replace(s, '\\s+', ' ', 'g')) AS main FROM en)
+          trim(regexp_replace(s, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS main FROM en)
     SELECT doc_id,
            CAST(length(html) AS INT) AS n_html_chars,
            CAST(length(main) AS INT) AS n_main_chars,

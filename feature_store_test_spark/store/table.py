@@ -497,7 +497,9 @@ class VersionedParquetTable:
         enumerable; time travel below the compaction base stops working —
         the documented retention trade, same as Delta VACUUM.
 
-        Returns the list of vacuumed version ids.
+        Returns the version ids whose data deletion COMPLETED in this
+        call (a version whose rmtree fails non-fatally is reported by
+        the later call whose retry leg finishes it — exactly once).
         """
         import shutil
 
@@ -519,11 +521,13 @@ class VersionedParquetTable:
                 if not os.path.exists(c["vacuum_dir"]):
                     c.pop("vacuum_dir")
                     self._rewrite_commit(c)
-                    # a retried completion IS a vacuum of this version: the
-                    # crashed call never reported it, so the caller-visible
-                    # "list of vacuumed version ids" must (r7 ADVICE — a
-                    # mid-rmtree-crashed version was otherwise reported by
-                    # neither the crashed call nor the retry)
+                    # a retried COMPLETION is a vacuum of this version
+                    # (r7 ADVICE: a mid-rmtree-crashed version was
+                    # otherwise reported by neither the crashed call nor
+                    # the retry). Reporting is completion-based on both
+                    # legs — see the normal leg below — so a version is
+                    # reported by exactly ONE call, the one whose rmtree
+                    # actually finished.
                     removed.append(c["version"])
                 continue
             if c["version"] <= base and c.get("data_dir"):
@@ -543,7 +547,13 @@ class VersionedParquetTable:
                 if not os.path.exists(c["vacuum_dir"]):
                     c.pop("vacuum_dir")
                     self._rewrite_commit(c)
-                removed.append(c["version"])
+                    # completion-based reporting (code-review r8): if the
+                    # rmtree failed non-fatally (ignore_errors swallows
+                    # e.g. EACCES) the retained vacuum_dir routes this
+                    # version to the retry leg of a LATER call, which
+                    # reports it then — appending here too would report
+                    # the same version twice across calls.
+                    removed.append(c["version"])
         return removed
 
     def _rewrite_commit(self, c: dict) -> None:

@@ -115,6 +115,13 @@ def test_fast_trainer_equals_naive(counts):
         m2, s2 = bpe.train_bpe_fast(counts, n_merges)
         assert m1 == m2
         assert s1 == s2
+        # the ENCODERS agree on every table these random vocabs train
+        # (code-review r8: the fast encoder was pinned against a single
+        # fixed table while serving routes every word through it) —
+        # vocab words AND fixed unseen probes, per table
+        ranks = bpe.merge_ranks(m1)
+        for w in list(s1)[:8] + ["dcba", "abcab", "zz"]:
+            assert bpe.encode_word_fast(w, ranks) == bpe.encode_word(w, m1)
 
 
 def test_fast_trainer_equals_naive_handcrafted():
