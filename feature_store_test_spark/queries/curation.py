@@ -242,3 +242,100 @@ def q146_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("class_size"))
         .where(F.col("class_size") < _KANON)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q154 — FUZZY eval-set decontamination (round 8): the GPT-3/Llama-style
+# stage that q102's exact 8-gram overlap cannot express — a train document
+# that paraphrases or lightly edits an eval document shares few exact
+# 8-grams but a high shingle-Jaccard. Pipeline: one MinHash signature pass
+# over the WHOLE corpus (the same family q21's dedup already computes —
+# in production the two stages share it), LSH band buckets, candidates
+# filtered to MIXED membership (eval = doc_id % 97 = 0, the q102
+# convention: benchmark membership is id-defined, never content-defined),
+# then exact digest-set Jaccard at the looser 0.3 decontamination
+# threshold. Scale: only 16-byte digests and (band, bucket) keys shuffle;
+# candidate verification joins the tiny pair list back twice (broadcast).
+# The oracle replays the identical LSH (window family in lockstep with
+# operators/dedup.py), so the hash check covers candidate generation AND
+# verification. Output may legitimately be EMPTY at an SF where no
+# near-dup pair crosses the eval boundary (sf0.01); sf0.001 and sf0.1
+# both contain hits (J >= 0.95 twins).
+# ---------------------------------------------------------------------------
+_FD_K = 8
+_FD_BANDS = 4
+_FD_T = 0.3
+
+
+@register(
+    "q154_fuzzy_decontamination",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM words, unnest(generate_series(1, len(w) - 2)) AS g(i)
+    ),
+    hashed AS (SELECT doc_id, md5(shingle) AS h FROM shingles),
+    hashes AS (
+      SELECT doc_id, seed,
+             MIN(substr(h || h, {32 // _FD_K} * seed + 1, 15)) AS minhash
+      FROM hashed, unnest(generate_series(0, {_FD_K - 1})) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // {_FD_K // _FD_BANDS} AS INT) AS band,
+             md5(string_agg(minhash, '' ORDER BY seed)) AS bucket
+      FROM hashes GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE (a.doc_id % 97 = 0) <> (b.doc_id % 97 = 0)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN id_a % 97 = 0 THEN id_b ELSE id_a END AS train_id,
+           CASE WHEN id_a % 97 = 0 THEN id_a ELSE id_b END AS eval_id,
+           ROUND(CAST(i AS DOUBLE) / (za.sz + zb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = id_a
+    JOIN sizes zb ON zb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= {_FD_T}
+    """,
+    doc="fuzzy eval decontamination: MinHash-LSH train-vs-eval candidates, exact Jaccard >= 0.3",
+    tags=("pipeline", "decontamination", "dedup", "minhash", "lsh"),
+)
+def q154_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_store_test_spark.operators.dedup import (
+        jaccard_verify_arrays,
+        lsh_candidate_pairs,
+        minhash_signatures_digests,
+        shingle_digest_array,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    harr = shingle_digest_array(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures_digests(harr, "doc_id", k=_FD_K)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=_FD_K, bands=_FD_BANDS)
+    # mixed-membership candidates only: the shared LSH pass yields BOTH
+    # dedup pairs (train-train) and contamination pairs (train-eval);
+    # this stage consumes the mixed slice. Membership is id-defined, so
+    # the filter is a pure predicate on the pair ids.
+    mixed = pairs.where("(id_a % 97 = 0) <> (id_b % 97 = 0)")
+    ver = jaccard_verify_arrays(
+        harr, mixed, "doc_id", arr_col="hs", threshold=_FD_T
+    )
+    return ver.selectExpr(
+        "CASE WHEN id_a % 97 = 0 THEN id_b ELSE id_a END AS train_id",
+        "CASE WHEN id_a % 97 = 0 THEN id_a ELSE id_b END AS eval_id",
+        "jaccard",
+    )
