@@ -269,3 +269,52 @@ def test_neardedup_duplicate_ids_in_batch_raise(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate ids"):
         ing.process_batch(batch)
+
+
+def test_multi_interval_state_survives_restart(spark, tmp_path):
+    """The K>1 array-backed session state restores from a checkpoint: a
+    second availableNow run on the same checkpoint continues the held
+    intervals (merging a mid-gap event into the restored early interval)
+    instead of restarting them."""
+    from feature_store_test_spark.streaming.stateful import stateful_sessions
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(batches, start_index):
+        os.makedirs(src, exist_ok=True)
+        for i, rows in enumerate(batches):
+            time.sleep(1.1)
+            spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+                f"{src}/b{start_index + i}"
+            )
+        stream = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+            .withWatermark("ts", "2 hours")
+        )
+        q = (
+            stateful_sessions(stream, gap="30 minutes", max_open_intervals=2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1 leaves TWO open intervals in state: [11:40,11:41] and [10:00]
+    run([[(1, _t(100)), (1, _t(101))], [(1, _t(0))]], 0)
+    # run 2 (fresh query, same checkpoint) merges 10:20 into the RESTORED
+    # [10:00] interval, then closes both as the watermark advances
+    run([[(1, _t(20))], [(1, _t(300))], [(1, _t(600))]], 2)
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert (1, _t(0), _t(20), 2) in got     # restored interval grew
+    assert (1, _t(100), _t(101), 2) in got  # restored interval closed intact
+    assert (1, _t(0), _t(0), 1) not in got
