@@ -534,3 +534,118 @@ def q153_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(main).alias("main_fp"),
         main.startswith(F.col("text")).alias("main_starts_with_src"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q155 — document chunking for retrieval/RAG indexing (round 8): fixed-size
+# token windows with overlap (chunk_size 64, stride 48 → 16-token overlap),
+# the stage that feeds every embedding index built from long documents.
+# Declared rule: chunk starts at every stride multiple below n_tokens; the
+# tail chunk is shorter (never padded, never dropped). Output carries the
+# chunk fingerprint + token count, not the text — rows grow linearly with
+# the corpus, chunk bodies stay in the scan. Pure codegen (sequence +
+# slice + array_join + md5): zero shuffles, zero Python.
+# ---------------------------------------------------------------------------
+_CHUNK = 64
+_STRIDE = 48
+
+
+@register(
+    "q155_doc_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(s // {_STRIDE} AS INT) AS chunk_idx,
+             toks[s+1 : s+{_CHUNK}] AS chunk
+      FROM t, unnest(generate_series(0, len(toks) - 1, {_STRIDE})) AS g(s)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_fp
+    FROM chunks
+    """,
+    doc="overlapping token-window chunking (64/48) with per-chunk fingerprints",
+    tags=("text", "pipeline", "retrieval"),
+)
+def q155_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_plain(spark, "documents", sf_dir)
+    # slice() is 1-based and clamps at the array end on both engines, so
+    # the tail chunk is the natural short slice — no special-casing
+    return docs.selectExpr(
+        "doc_id", "split(text, ' ') AS toks"
+    ).selectExpr(
+        "doc_id",
+        f"explode(sequence(0, size(toks) - 1, {_STRIDE})) AS s",
+        "toks",
+    ).selectExpr(
+        "doc_id",
+        f"CAST(s DIV {_STRIDE} AS INT) AS chunk_idx",
+        f"CAST(size(slice(toks, s + 1, {_CHUNK})) AS INT) AS n_chunk_tokens",
+        f"md5(array_join(slice(toks, s + 1, {_CHUNK}), ' ')) AS chunk_fp",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q156 — MLM corruption-target generation (round 8): the masked-LM
+# pretraining stage — deterministically mask ~12.5% of tokens (position p
+# masks iff the first md5 nibble of "doc_id:p" is 0 or 1 — reproducible on
+# any engine with md5, the established no-RNG discipline), emit the
+# corrupted input and the target sequence as fingerprints plus the mask
+# count. All array lambdas over the token array — no explode, zero
+# shuffles, zero Python; rows = docs.
+# ---------------------------------------------------------------------------
+@register(
+    "q156_mlm_corruption",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, len(toks) + 1), p ->
+               substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 1)
+                 IN ('0', '1')) AS f
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(toks) + 1), p -> f[p])) AS INT)
+             AS n_masked,
+           md5(array_to_string(
+             list_transform(range(1, len(toks) + 1),
+               p -> CASE WHEN f[p] THEN '<mask>' ELSE toks[p] END), ' '))
+             AS input_fp,
+           md5(COALESCE(array_to_string(
+             list_transform(list_filter(range(1, len(toks) + 1), p -> f[p]),
+               p -> toks[p]), ' '), ''))
+             AS target_fp
+           -- COALESCE: DuckDB's array_to_string([]) is NULL while Spark's
+           -- array_join([]) is '' — an unmasked doc's target fingerprint
+           -- is md5('') on both engines
+    FROM m
+    """,
+    doc="deterministic MLM masking: corrupted-input + target fingerprints per doc",
+    tags=("text", "pipeline", "ml"),
+)
+def q156_mlm_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_plain(spark, "documents", sf_dir)
+    return docs.selectExpr(
+        "doc_id",
+        "split(text, ' ') AS toks",
+    ).selectExpr(
+        "doc_id",
+        "toks",
+        "transform(sequence(1, size(toks)), p -> "
+        "substring(md5(concat(cast(doc_id AS string), ':', cast(p AS string))), 1, 1)"
+        " IN ('0', '1')) AS f",
+    ).selectExpr(
+        "doc_id",
+        "CAST(size(filter(sequence(1, size(toks)), p -> element_at(f, p))) AS INT)"
+        " AS n_masked",
+        "md5(array_join(zip_with(toks, f, (t, m) -> IF(m, '<mask>', t)), ' '))"
+        " AS input_fp",
+        "md5(array_join(transform(filter(sequence(1, size(toks)),"
+        " p -> element_at(f, p)), p -> element_at(toks, p)), ' ')) AS target_fp",
+    )

@@ -46,6 +46,8 @@ QUERIES = [
     ("q127_pii_redaction", 5),
     ("q128_url_domain_stats", 5),
     ("q102_decontamination", 0),      # nothing shares 8-grams with eval
+    ("q155_doc_chunking", 5),         # every doc yields its single short chunk
+    ("q156_mlm_corruption", 5),       # every doc gets input/target fps
 ]
 
 
