@@ -186,7 +186,10 @@ def main() -> None:
     # re-paying Catalyst re-optimization inside the timed window.
     import pyspark
 
-    clone_validated = pyspark.__version__.startswith("4.1.")
+    # exact-version allowlist, not a prefix (r8 ADVICE): the clone()
+    # behavior was REST-validated on these builds only — a future 4.1.x
+    # patch release must fall back to noop-save until revalidated
+    clone_validated = pyspark.__version__ in ("4.1.2",)
 
     def execute_prepared(df) -> None:
         # PURE-EXECUTION body (round 7): clone the memoized physical plan

@@ -223,7 +223,21 @@ _BLOCK_ALT = "(?:" + "|".join(BOILERPLATE_BLOCKS) + ")"
 # the residue ("title") survives as text once the stray tags strip.
 # Pinned cross-engine by the q153 oracle (same pattern, same automaton)
 # and by a nested-landmark adversarial test.
-BLOCK_STRIP_PATTERN = f"<{_BLOCK_ALT}[^>]*>[\\s\\S]*?</{_BLOCK_ALT}>"
+#
+# The opener anchors the TAG NAME boundary (r8 ADVICE): after the name
+# comes either an immediate '>' or a whitespace-then-attributes run — so
+# a custom element sharing a boilerplate prefix (<navbar ...>, <headline>)
+# is NOT an opener (it strips later as a stray tag, its content survives).
+# An explicit alternation, not a lookahead: RE2 (DuckDB) parses (?=...)
+# without error but never matches it, which would silently break the
+# same-automaton contract. Whitespace is the explicit class (Java \s
+# includes U+000B, RE2's does not). A self-closing <nav/> is likewise not
+# an opener — treating it as one would swallow text up to an unrelated
+# closer, the exact over-strip this boundary exists to prevent.
+_WS = " \\t\\n\\r\\f\\x0B"
+BLOCK_STRIP_PATTERN = (
+    f"<{_BLOCK_ALT}(?:>|[{_WS}][^>]*>)[\\s\\S]*?</{_BLOCK_ALT}>"
+)
 # whitespace run for the collapse pass — explicit class (incl. \x0B) so
 # Java regex and RE2 agree; see extract_main_content
 WS_RUN_PATTERN = "[ \\t\\n\\r\\f\\x0B]+"

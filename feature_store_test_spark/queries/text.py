@@ -478,7 +478,8 @@ def q120_corpus_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantics); A/B'd 2.0x over seven per-tag passes
 _Q153_BLOCK_CTES = (
     ", s7 AS (SELECT doc_id, text, html, regexp_replace(s, '"
-    + "<(?:head|script|style|nav|header|footer|aside)[^>]*>"
+    + "<(?:head|script|style|nav|header|footer|aside)"
+    + "(?:>|[ \\t\\n\\r\\f\\x0B][^>]*>)"
     + "[\\s\\S]*?</(?:head|script|style|nav|header|footer|aside)>"
     + "', ' ', 'g') AS s FROM s0)"
 )
@@ -623,7 +624,8 @@ def q155_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS target_fp
            -- COALESCE: DuckDB's array_to_string([]) is NULL while Spark's
            -- array_join([]) is '' — an unmasked doc's target fingerprint
-           -- is md5('') on both engines
+           -- is md5('') on both engines; the Spark side carries a matching
+           -- coalesce so a NULL-text row also agrees at md5('')
     FROM m
     """,
     doc="deterministic MLM masking: corrupted-input + target fingerprints per doc",
@@ -646,6 +648,11 @@ def q156_mlm_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS n_masked",
         "md5(array_join(zip_with(toks, f, (t, m) -> IF(m, '<mask>', t)), ' '))"
         " AS input_fp",
-        "md5(array_join(transform(filter(sequence(1, size(toks)),"
-        " p -> element_at(f, p)), p -> element_at(toks, p)), ' ')) AS target_fp",
+        # coalesce mirrors the oracle's (r8 ADVICE): on a NULL-text row
+        # array_join(NULL) is NULL here while DuckDB's COALESCE already
+        # yields md5('') — both engines now report md5('') for "nothing
+        # masked", whether from NULL text or an unmasked doc
+        "md5(coalesce(array_join(transform(filter(sequence(1, size(toks)),"
+        " p -> element_at(f, p)), p -> element_at(toks, p)), ' '), ''))"
+        " AS target_fp",
     )

@@ -181,6 +181,10 @@ def test_q153_html_extract_adversarial_text(spark, tmp_path):
         # and "site title" survives as text (declared semantics —
         # operators/text.BLOCK_STRIP_PATTERN)
         (7, "intro <header><nav>m</nav>site title</header> outro", "en", "s", 51),
+        # custom element sharing a boilerplate tag-name PREFIX: the anchored
+        # opener boundary (r8 ADVICE) must not treat <navbar> as a <nav>
+        # opener — its content survives, the tags strip as stray tags
+        (8, "custom <navbar>keep me</navbar> tail", "en", "s", 36),
     ]
     sf = str(tmp_path)
     spark.createDataFrame(
@@ -210,3 +214,38 @@ def test_q153_html_extract_adversarial_text(spark, tmp_path):
     # nested-landmark residue survives per the declared fused semantics
     main7 = "intro site title outro tags & notes for lang en"
     assert out[7]["main_fp"] == hashlib.md5(main7.encode()).hexdigest()
+    # prefix-named custom element is NOT a boilerplate opener: its content
+    # survives and only the tags strip
+    main8 = "custom keep me tail tags & notes for lang en"
+    assert out[8]["main_fp"] == hashlib.md5(main8.encode()).hexdigest()
+
+
+def test_q156_null_text_oracle_parity(spark, tmp_path):
+    """NULL-text row through q156 (r8 ADVICE): both engines must agree —
+    n_masked and input_fp are NULL, target_fp is md5('') via the matching
+    coalesces (DuckDB's COALESCE on array_to_string, Spark's on
+    array_join). The standard fixtures have no NULL text, so this is the
+    only place the case is exercised."""
+    import hashlib
+
+    import duckdb
+
+    rows = [(0, None, "en", "s", 0), (1, "two words", "en", "s", 9)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf + "/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    spec = all_queries()["q156_mlm_corruption"]
+    got = sorted(tuple(r) for r in spec.fn(spark, sf).collect())
+    release_caches()
+    want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[0][1] is None and by_id[0][2] is None
+    assert by_id[0][3] == hashlib.md5(b"").hexdigest()
