@@ -467,7 +467,11 @@ def q76_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured sizes at the 10x profile)
         big.hint("shuffle_hash")
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        # shuffle_hash, not broadcast (round 9): the HAVING-filtered join
+        # output is a handful of rows and customer is 15k — both shuffle
+        # inside the main job instead of paying a broadcast-build job
+        # (interleaved A/B: 3 jobs -> 2, min 0.614 -> 0.538)
+        .join(c.hint("shuffle_hash"), F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
         )
@@ -622,7 +626,12 @@ def q78_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
     return (
-        lonely.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        # shuffle_hash, not broadcast (round 9): `lonely` is post-filter
+        # tiny and supplier is 1k rows, so BOTH sides shuffle pennies —
+        # inside the main job — where a broadcast build is its own
+        # scheduler job (~0.07s fixed on this box). Interleaved A/B:
+        # 2 jobs -> 1, med 1.061 -> 0.980.
+        lonely.join(s.hint("shuffle_hash"), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .repartition(1).sortWithinPartitions(F.col("numwait").desc(), "s_name")
