@@ -48,6 +48,7 @@ QUERIES = [
     ("q102_decontamination", 0),      # nothing shares 8-grams with eval
     ("q155_doc_chunking", 5),         # every doc yields its single short chunk
     ("q156_mlm_corruption", 5),       # every doc gets input/target fps
+    ("q157_trigram_langid", None),    # lang column absent -> NULL labels; no crash
 ]
 
 
@@ -218,6 +219,43 @@ def test_q153_html_extract_adversarial_text(spark, tmp_path):
     # survives and only the tags strip
     main8 = "custom keep me tail tags & notes for lang en"
     assert out[8]["main_fp"] == hashlib.md5(main8.encode()).hexdigest()
+
+
+def test_q157_langid_degenerate_oracle_parity(spark, tmp_path):
+    """q157 on the degenerate ends: empty text, sub-trigram text, NULL
+    text (all three yield no trigrams — absent from the output on BOTH
+    engines: Spark filters length >= 3 because sequence(1, n<1) descends,
+    DuckDB's generate_series is naturally empty), exact-tie distances
+    (identical docs under different labels — alphabetical tiebreak), and
+    a single-language corpus slice."""
+    import duckdb
+
+    rows = [
+        (0, "", "en", "s", 0),
+        (1, "ab", "en", "s", 2),          # below trigram width
+        (2, None, "en", "s", 0),          # NULL text
+        (3, "aaa bbb ccc aaa", "de", "s", 15),
+        (4, "aaa bbb ccc aaa", "es", "s", 15),  # identical text, other label
+        (5, "xyz xyz xyz", "en", "s", 11),
+        (6, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf + "/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    spec = all_queries()["q157_trigram_langid"]
+    got = sorted(tuple(r) for r in spec.fn(spark, sf).collect())
+    release_caches()
+    want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert got == want
+    # trigram-less docs (0, 1, 2) contribute nothing: 4 classified docs
+    assert sum(r[2] for r in got) == 4
 
 
 def test_q156_null_text_oracle_parity(spark, tmp_path):
