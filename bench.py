@@ -74,6 +74,24 @@ HEADLINE = [
     "q111_minhash_estimate_quality",  # sketch audit: est vs exact Jaccard
 ]
 
+# (shuffle_partitions, maxPartitionBytes, aqe, openCostInBytes, prefer_smj)
+# — module-level so plans.py captures plans under the EXACT profile the
+# headline numbers measure (r8 verdict: PLANS.md showed q42's SMJ while
+# the bench's SHJ preference was precisely what changed that plan).
+BASE_PROFILE = (4, 32 * 1024 * 1024, False, 2 * 1024 * 1024, False)
+SCALE_PROFILE = (32, 4 * 1024 * 1024, True, 512 * 1024, True)
+
+
+def set_profile(spark, profile) -> None:
+    sh, split_bytes, aqe, open_cost, prefer_smj = profile
+    spark.conf.set("spark.sql.shuffle.partitions", str(sh))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
+    spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+    spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
+    spark.conf.set(
+        "spark.sql.join.preferSortMergeJoin", str(prefer_smj).lower()
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -136,26 +154,15 @@ def main() -> None:
     # The 10x replica keeps AQE ON with the wider layout (32 partitions,
     # 4 MB splits): there runtime coalescing/skew handling is the point,
     # which is exactly the 100 TB configuration story.
-    def _set_profile(
-        sh: int, split_bytes: int, aqe: bool, open_cost: int, prefer_smj: bool
-    ) -> None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(sh))
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
-        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
-        spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
-        # Base profile prefers shuffle-hash over sort-merge (round 8):
-        # at sf0.1 every equi-join side fits its partition in memory, so
-        # SMJ's two sorts are pure cost (among the 30 headliners exactly
-        # ONE plan changes — q42's fact-fact join drops 2 sorts,
-        # interleaved A/B −0.05..−0.08s; all others already hash-join via
-        # hints or broadcast). The scale profile keeps the SMJ default:
-        # SHJ's per-partition build must fit executor memory, which a
-        # 100 TB fact-fact join does not guarantee — there AQE +
-        # sort-merge is the safe plan.
-        spark.conf.set(
-            "spark.sql.join.preferSortMergeJoin", str(prefer_smj).lower()
-        )
-
+    # Base profile prefers shuffle-hash over sort-merge (round 8): at
+    # sf0.1 every equi-join side fits its partition in memory, so SMJ's
+    # two sorts are pure cost (among the 30 headliners exactly ONE plan
+    # changes — q42's fact-fact join drops 2 sorts, interleaved A/B
+    # −0.05..−0.08s; all others already hash-join via hints or
+    # broadcast). The scale profile keeps the SMJ default: SHJ's
+    # per-partition build must fit executor memory, which a 100 TB
+    # fact-fact join does not guarantee — there AQE + sort-merge is the
+    # safe plan.
     # Round-5 A/B over the whole headline set (min-merged of 2 full runs
     # each, quiet box): shuffle partitions 8 -> 4 and openCostInBytes
     # 512k -> 2m are each worth ~0.3s and compose (-0.44s total vs the
@@ -163,8 +170,13 @@ def main() -> None:
     # Both follow the same size-to-the-data discipline: at sf0.1 a
     # post-shuffle stage holds ~KBs per partition, so fewer+fatter tasks
     # shed pure per-task floor; the scale profile keeps narrow splits.
-    BASE_PROFILE = (4, 32 * 1024 * 1024, False, 2 * 1024 * 1024, False)
-    SCALE_PROFILE = (32, 4 * 1024 * 1024, True, 512 * 1024, True)
+    # Round-9 re-litigation under the pure-execution protocol: global 8
+    # partitions re-measured — wins on the fact joins (q78/q42/q105
+    # ~−0.04 each) cancel against losses on the window/text set
+    # (q21/q111/q88/q89); 4 stays.
+    def _set_profile(*profile) -> None:
+        set_profile(spark, profile)
+
     _set_profile(*BASE_PROFILE)
     specs = all_queries()
 
@@ -477,6 +489,76 @@ def main() -> None:
         t0 = time.perf_counter()
         _sm, _ = _bpe.train_bpe_fast(_scounts, 10000)
         synth_train_sec = time.perf_counter() - t0
+
+        # (c) round 9 (r8 verdict item 4): the FULL pipeline — word-count
+        # shuffle -> 10k-merge train -> broadcast-join encode — on a
+        # corpus whose VOCABULARY is production-sized (the replica's is
+        # 31 words, so its end-to-end run exhausts at ~89 merges). The
+        # corpus is synthesized deterministically (md5-hash draws, no
+        # RNG): ~12k-word syllable vocabulary under a log-uniform
+        # (Zipf-1-ish) rank-frequency draw, 50k docs x 60 words, written
+        # as 32-file parquet so the scan parallelizes like any real
+        # multi-file table. The encode stage is the q151 shape — explode
+        # words ⋈ broadcast(word -> n_subtokens) + per-doc sum — NO
+        # Python over documents; tokens/sec is that stage's throughput.
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as _F
+
+        _V = 12000
+        _SYL = [a + b for a in "bdklmnrs" for b in "aeiou"]  # 40 syllables
+        _syl_arr = "array(" + ",".join(f"'{s}'" for s in _SYL) + ")"
+        _word_of = (
+            f"concat(element_at({_syl_arr}, CAST(__k DIV 1600 AS INT) % 40 + 1),"
+            f" element_at({_syl_arr}, CAST(__k DIV 40 AS INT) % 40 + 1),"
+            f" element_at({_syl_arr}, CAST(__k AS INT) % 40 + 1))"
+        )
+        _idx_of = (
+            "CAST(pow("
+            f"{_V}, (conv(substring(md5(concat(cast(id AS string), ':',"
+            " cast(j AS string))), 1, 8), 16, 10) % 1048576) / 1048576.0"
+            f") AS BIGINT) % {_V}"
+        )
+        _word_expr = _word_of.replace("__k", f"({_idx_of})")
+        _synth_dir = tempfile.mkdtemp(prefix="bpe_synth_")
+        try:
+            spark.range(50000).repartition(32).selectExpr(
+                "id AS doc_id",
+                f"array_join(transform(sequence(1, 60), j -> {_word_expr}),"
+                " ' ') AS text",
+            ).write.mode("overwrite").parquet(_synth_dir + "/docs.parquet")
+            _synth = spark.read.parquet(_synth_dir + "/docs.parquet")
+
+            _set_profile(*SCALE_PROFILE)
+            t0 = time.perf_counter()
+            _sc = sorted(
+                (r["word"], r["cnt"])
+                for r in _bpe.word_counts(_synth).collect()
+            )
+            synth_wc_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _cm, _cseg = _bpe.train_bpe_fast(_sc, 10000)
+            synth_e2e_train_sec = time.perf_counter() - t0
+            _seg_df = spark.createDataFrame(
+                [(w, len(t)) for w, t in sorted(_cseg.items())],
+                "word string, n_sub long",
+            )
+            _enc = (
+                _bpe.corpus_words(_synth)
+                .join(_F.broadcast(_seg_df), "word")
+                .groupBy("doc_id")
+                .agg(_F.sum("n_sub").alias("bpe_tokens"))
+            )
+            t0 = time.perf_counter()
+            _tot = _enc.selectExpr(
+                "sum(bpe_tokens) AS s", "count(*) AS n"
+            ).collect()[0]
+            synth_encode_sec = time.perf_counter() - t0
+            _set_profile(*BASE_PROFILE)
+        finally:
+            shutil.rmtree(_synth_dir, ignore_errors=True)
+
         bpe_scale = {
             "replica_vocab_words": len(_counts10),
             "replica_wordcount_sec": round(wc_sec, 2),
@@ -487,6 +569,77 @@ def main() -> None:
             "synth50k_vocab_words": len(_scounts),
             "synth50k_train_10k_merges_sec": round(synth_train_sec, 2),
             "synth50k_merges_trained": len(_sm),
+            "synth_corpus": {
+                "n_docs": 50000,
+                "vocab_words": len(_sc),
+                "wordcount_sec": round(synth_wc_sec, 2),
+                "train_10k_merges_sec": round(synth_e2e_train_sec, 2),
+                "merges_trained": len(_cm),
+                "encode_sec": round(synth_encode_sec, 2),
+                "total_subtokens": int(_tot["s"]),
+                "encode_tokens_per_sec": int(_tot["s"] / synth_encode_sec),
+            },
+        }
+
+    # K-interval sessionizer throughput (round 9, r8 verdict item 5): the
+    # array-state cost of max_open_intervals=K, measured before anyone
+    # turns it on in production. 10x-replica events through the stateful
+    # sessionizer at K=1 (original scalar state) and K=4 (array state),
+    # availableNow file-source stream -> noop sink, warm-then-min-of-2
+    # with the two variants ALTERNATING inside the window (the first
+    # streaming query of a session pays state-store + Python-worker init
+    # measured at ~45s of pure warmup — order alternation keeps that out
+    # of the comparison, the same discipline as the query A/Bs).
+    session_scale = None
+    if with_scale and scale_dir:
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from feature_store_test_spark.streaming.stateful import (
+            stateful_sessions,
+        )
+
+        _set_profile(*SCALE_PROFILE)
+        _ev_path = scale_dir + "/events.parquet"
+        _n_ev = spark.read.parquet(_ev_path).count()
+        _ev_schema = spark.read.parquet(_ev_path).schema
+
+        def _run_sessions_once(k: int) -> float:
+            ckpt = _tempfile.mkdtemp(prefix=f"bench_sess_k{k}_")
+            try:
+                stream = (
+                    spark.readStream.schema(_ev_schema)
+                    .parquet(_ev_path)
+                    .withWatermark("ts", "10 minutes")
+                )
+                t0 = time.perf_counter()
+                q = (
+                    stateful_sessions(
+                        stream, gap="30 minutes", max_open_intervals=k
+                    )
+                    .writeStream.format("noop")
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                return time.perf_counter() - t0
+            finally:
+                _shutil.rmtree(ckpt, ignore_errors=True)
+
+        _run_sessions_once(1)
+        _run_sessions_once(4)  # warm both state-fold paths
+        _sess: dict[int, list[float]] = {1: [], 4: []}
+        for _ in range(2):
+            for k in (1, 4):
+                _sess[k].append(_run_sessions_once(k))
+        _set_profile(*BASE_PROFILE)
+        session_scale = {
+            "replica_events": _n_ev,
+            "k1_events_per_sec": round(_n_ev / min(_sess[1])),
+            "k4_events_per_sec": round(_n_ev / min(_sess[4])),
+            "k4_over_k1_wall": round(min(_sess[4]) / min(_sess[1]), 3),
         }
 
     # Reference-architecture throughput comparison: the reference engineers
@@ -628,6 +781,7 @@ def main() -> None:
     detail["per_job_floor_sec"] = per_job_floor_sec
     detail["plan_construction"] = construct
     detail["bpe_scale"] = bpe_scale
+    detail["session_scale"] = session_scale
     # box-calibration field (round 7): the ratio with this run's own
     # measured scheduling floor netted out of the Spark total — the
     # number that transfers between a quiet box and the loaded driver

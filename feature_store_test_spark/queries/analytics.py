@@ -442,32 +442,46 @@ def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = F.broadcast(
         load_table(spark, "customer", sf_dir).select(F.col("c_custkey").alias("ck"))
     )
-    li_joined = (
+    # PRE-AGGREGATE through the orders join (round 9, overturning the r5
+    # rejection — the pure-execution protocol moved the break-even): the
+    # broadcast pk/sk probes still run row-level in the scan pipeline,
+    # but their null counts fold into a per-orderkey partial aggregation
+    # BEFORE the shuffle, so the orders SHJ shuffles 150k pre-agg rows
+    # instead of 600k raw lines, and the orderkey-orphan count expands
+    # back through n_rows. Interleaved A/B min 0.777 -> 0.606 (med 0.929
+    # -> 0.718). This is also the skewed-100-TB-load shape the old
+    # comment promised to swap to: multi-GB order groups combine
+    # map-side instead of shuffling raw.
+    # shuffle_hash on orders: both sides still shuffle on the key (orders
+    # is a fact — never broadcast); the probe streams the pre-agg against
+    # a per-partition hash of orders' single key column instead of
+    # sorting both sides; PK build side is uniform by construction.
+    per_order = (
         li.select("l_orderkey", "l_partkey", "l_suppkey")
         .join(pk, F.col("l_partkey") == F.col("pk"), "left")
         .join(sk, F.col("l_suppkey") == F.col("sk"), "left")
-        .join(
-            # shuffle_hash: both sides still shuffle on the key (orders is
-            # a fact — never broadcast), but the probe streams lineitem
-            # against a per-partition hash of orders' single key column
-            # instead of sorting BOTH sides (SMJ). A PK build side is
-            # uniform by construction, and Spark 3.2+ SHJ spills; measured
-            # ~40% off this query's wall at sf0.1. (Pre-aggregating
-            # lineitem by l_orderkey before this join — the
-            # pushdown-through-join form — was A/B-measured 15% SLOWER
-            # here: the extra 600k-row hash-agg costs more than the
-            # 600k->150k shuffle cut saves; at a skewed-order 100 TB load
-            # with multi-GB order groups the pre-agg form is the swap to
-            # make.)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("pk").isNull()).alias("n_pk0"),
+            F.count_if(F.col("sk").isNull()).alias("n_sk0"),
+        )
+    )
+    li_counts = (
+        per_order.join(
             o.select("o_orderkey").hint("shuffle_hash"),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left",
         )
-    )
-    li_counts = li_joined.agg(
-        F.count_if(F.col("o_orderkey").isNull()).alias("n_ok"),
-        F.count_if(F.col("pk").isNull()).alias("n_pk"),
-        F.count_if(F.col("sk").isNull()).alias("n_sk"),
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), F.col("n_rows")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_ok"),
+            F.sum("n_pk0").alias("n_pk"),
+            F.sum("n_sk0").alias("n_sk"),
+        )
     )
     ord_counts = (
         o.select("o_custkey")
@@ -531,10 +545,14 @@ def q106_spend_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     spend = (
-        # customer is the dimension side — broadcast it so orders never
-        # shuffles for the join; the only exchanges left are the groupBy
-        # and the window repartition (measured 0.45s -> 0.28s at sf0.1)
-        F.broadcast(c)
+        # shuffle_hash, not broadcast (round 9): the custkey shuffle this
+        # join adds is REUSED by the groupBy (hash(o_custkey) satisfies
+        # the (c_nationkey, c_custkey) clustering — custkey is a member
+        # of the grouping set), so the whole agg pipelines on one
+        # exchange and the broadcast-build scheduler job disappears.
+        # Interleaved A/B: 2 jobs -> 1, min 0.376 -> 0.285 (the r6
+        # broadcast decision predated the pure-execution protocol).
+        c.hint("shuffle_hash")
         .join(o, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_nationkey", "c_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))

@@ -92,6 +92,14 @@ PROBED = [
     "q151_bpe_token_counts",
     "q144_maxsim_retrieval",
     "q153_html_extract",
+    # round 9 (r8 verdict item 2 + item 3): q154 shares q21's signature
+    # pass (cheap); q155/q156 are zero-shuffle array codegen (expected
+    # flat); q157 is the new trigram langid (bounded profile agg +
+    # broadcast scoring)
+    "q154_fuzzy_decontamination",
+    "q155_doc_chunking",
+    "q156_mlm_corruption",
+    "q157_trigram_langid",
 ]
 
 
