@@ -156,13 +156,15 @@ def main() -> None:
     # which is exactly the 100 TB configuration story.
     # Base profile prefers shuffle-hash over sort-merge (round 8): at
     # sf0.1 every equi-join side fits its partition in memory, so SMJ's
-    # two sorts are pure cost (among the 30 headliners exactly ONE plan
-    # changes — q42's fact-fact join drops 2 sorts, interleaved A/B
-    # −0.05..−0.08s; all others already hash-join via hints or
-    # broadcast). The scale profile keeps the SMJ default: SHJ's
-    # per-partition build must fit executor memory, which a 100 TB
-    # fact-fact join does not guarantee — there AQE + sort-merge is the
-    # safe plan.
+    # two sorts are pure cost. Round-9 correction: the r8 claim that this
+    # conf changes q42's plan was wrong — q42's SHUFFLE_HASH hint had
+    # been consumed by a nearer join (fixed at the query; the hint now
+    # forces SHJ regardless of this conf), so the preference currently
+    # changes NO headline plan; it stays as the declared strategy for
+    # any future non-hinted equi-join at this profile. The scale profile
+    # keeps the SMJ default: SHJ's per-partition build must fit executor
+    # memory, which a 100 TB fact-fact join does not guarantee — there
+    # AQE + sort-merge is the safe plan.
     # Round-5 A/B over the whole headline set (min-merged of 2 full runs
     # each, quiet box): shuffle partitions 8 -> 4 and openCostInBytes
     # 512k -> 2m are each worth ~0.3s and compose (-0.44s total vs the

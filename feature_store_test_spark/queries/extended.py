@@ -458,15 +458,23 @@ def q42_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SHUFFLE_HASH(orders): both fact sides still shuffle on l_orderkey/
     # o_orderkey (facts are never broadcast), but the probe streams the
     # filtered lineitem against a per-partition hash of orders' PK rows
-    # instead of sorting both sides — the q105 SHJ-vs-SMJ rationale;
-    # measured ~25% off this query's wall at sf0.1.
+    # instead of sorting both sides — the q105 SHJ-vs-SMJ rationale.
+    # FROM order puts lineitem ⋈ orders FIRST (round 9): a join hint is
+    # consumed by the NEAREST join containing the hinted relation, so the
+    # previous "customer, orders, lineitem" order let the broadcast
+    # customer⋈orders join swallow the SHUFFLE_HASH hint and the
+    # fact-fact join silently fell back to SMJ (PLANS.md had been
+    # showing exactly that — the r8 verdict's divergence was the plan
+    # document being RIGHT about the code). A/B of the two shapes at
+    # sf0.1 is a wash (SMJ min 0.430 / SHJ 0.447, medians reversed);
+    # SHJ is kept as the declared fact-fact strategy of this profile.
     return spark.sql(
         """
         SELECT /*+ BROADCAST(customer), SHUFFLE_HASH(orders) */ l_orderkey,
                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
                  AS revenue,
                o_orderdate, o_orderpriority
-        FROM customer, orders, lineitem
+        FROM lineitem, orders, customer
         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
           AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
