@@ -206,11 +206,15 @@ def test_q78_existentials_are_pipelined_aggs(spark, sf_dir):
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert plan.count("lineitem.parquet") == 1
     assert "Window" not in plan
-    # hash exchanges: lineitem + orders (the SHJ's two sides) and the
-    # final per-supplier-name aggregation — NOT four: nothing re-shuffles
-    # between the flag aggregation and the per-order count aggregation
+    # hash exchanges: lineitem + orders (the SHJ's two sides), the two
+    # tiny sides of the post-agg supplier shuffle-hash join (round 9:
+    # replaced the broadcast build and its dedicated scheduler job), and
+    # the final per-supplier-name aggregation — NOT six: nothing
+    # re-shuffles between the flag aggregation and the per-order count
+    # aggregation (both satisfied by the join's hash partitioning)
     body = plan.split("== Physical Plan ==")[-1]
-    assert body.count("Exchange hashpartitioning") == 3, plan
+    assert body.count("Exchange hashpartitioning") == 5, plan
+    assert "BroadcastExchange" not in body, plan
 
 
 def test_q109_windows_share_one_exchange(spark, sf_dir):
