@@ -44,13 +44,18 @@ def main() -> None:
         },
     )
 
-    def _set_profile(sh: int, split_bytes: int, aqe: bool) -> None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(sh))
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
-        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+    # the EXACT bench profiles (round 9: this module had drifted to a
+    # stale 8-partition copy of a pre-r5 base profile — profile literals
+    # now live in ONE place, bench.py, imported here and by plans.py)
+    import sys as _sys
 
-    BASE_PROFILE = (8, 32 * 1024 * 1024, False)
-    SCALE_PROFILE = (32, 4 * 1024 * 1024, True)
+    _sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import BASE_PROFILE, SCALE_PROFILE, set_profile
+
+    def _set_profile(*profile) -> None:
+        set_profile(spark, profile)
 
     with_10x = os.environ.get("SPARK_GRAFT_SWEEP_SKIP_10X", "0") != "1"
     scale_dir = None
@@ -133,9 +138,9 @@ def main() -> None:
             "n_queries": len(out),
             "protocol": (
                 "min-of-2 cold-cache runs after an sf0.001 warmup pass; "
-                "x1 = sf0.1 under the bench BASE profile (8 shuffle/32MB/"
-                "AQE off), x10 = scaleprobe replica under SCALE profile "
-                "(32/4MB/AQE on)"
+                "x1 = sf0.1 under bench.BASE_PROFILE (4 shuffle/32MB/"
+                "AQE off/SHJ-pref), x10 = scaleprobe replica under "
+                "bench.SCALE_PROFILE (32/4MB/AQE on/SMJ)"
             ),
         }
     }
