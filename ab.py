@@ -1,8 +1,10 @@
 """Scratch interleaved A/B harness (not shipped): mirrors bench.py's
-pure-execution protocol — base profile, clone()-execute body, min-of-N
-with variants alternating inside the same window so host drift cancels.
+pure-execution protocol — bench BASE_PROFILE (imported, not copied),
+clone()-execute body with bench's exact version pin, plans constructed
+OUTSIDE the timed window, min-of-N with variants alternating inside the
+same window so host drift cancels.
 
-Usage: python ab.py  (edit VARIANTS / QUERIES below per experiment)
+Usage: python ab.py [query ...]  (edit VARIANTS below per experiment)
 """
 from __future__ import annotations
 
@@ -10,55 +12,67 @@ import statistics
 import sys
 import time
 
+import pyspark
+
+from bench import BASE_PROFILE, set_profile as _bench_set_profile
 from feature_store_test_spark.registry import all_queries, release_caches
 from feature_store_test_spark.session import get_spark
 
 SF = "/root/testdata/sf0.1"
 
+# bench.py's exact-version allowlist: on any other build clone() may
+# silently reuse shuffle map outputs (the documented cheat) — fall back
+# to the honest noop-save body
+_CLONE_VALIDATED = pyspark.__version__ in ("4.1.2",)
 
-def set_profile(spark, sh=4, split=32 * 1024 * 1024, aqe=False,
-                open_cost=2 * 1024 * 1024, smj=False):
-    spark.conf.set("spark.sql.shuffle.partitions", str(sh))
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
-    spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
-    spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", str(smj).lower())
+
+def set_profile(spark, sh=None, **overrides):
+    base = dict(zip(("sh", "split", "aqe", "open_cost", "smj"), BASE_PROFILE))
+    if sh is not None:
+        base["sh"] = sh
+    base.update(overrides)
+    _bench_set_profile(
+        spark,
+        (base["sh"], base["split"], base["aqe"], base["open_cost"], base["smj"]),
+    )
 
 
 def execute_prepared(spark, df):
-    if spark.conf.get("spark.sql.adaptive.enabled") == "true":
+    if (
+        not _CLONE_VALIDATED
+        or spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    ):
         df.write.format("noop").mode("overwrite").save()
     else:
         df._jdf.queryExecution().executedPlan().clone().execute().count()
 
 
 def ab(spark, queries, variants, n=6):
-    """variants: dict name -> (setup_fn, builder_fn(spark, sf) -> df).
-    setup_fn runs before each timed run (e.g. conf change)."""
+    """variants: dict name -> (setup_fn, builder_fn(spark, spec, sf) -> df).
+    Plans are constructed (and warmed) before any timed run — the timed
+    windows measure pure execution only, like bench.py."""
     specs = all_queries()
     results = {q: {v: [] for v in variants} for q in queries}
-    # warm every (query, variant) once
+    prepared: dict[tuple[str, str], object] = {}
     for q in queries:
         for vname, (setup, build) in variants.items():
             setup(spark)
             df = build(spark, specs[q], SF)
-            execute_prepared(spark, df)
+            prepared[(q, vname)] = df
+            execute_prepared(spark, df)  # warm
             spark.catalog.clearCache()
             release_caches()
     set_profile(spark)
     spark.sparkContext._jvm.System.gc()
     time.sleep(1.0)
     for q in queries:
-        prepared = {}
-        for i in range(n):
-            for vname, (setup, build) in variants.items():
+        for _ in range(n):
+            for vname, (setup, _build) in variants.items():
                 setup(spark)
+                df = prepared[(q, vname)]
                 t0 = time.perf_counter()
-                if vname not in prepared:
-                    prepared[vname] = build(spark, specs[q], SF)
-                execute_prepared(spark, prepared[vname])
-                dt = time.perf_counter() - t0
-                results[q][vname].append(dt)
+                execute_prepared(spark, df)
+                results[q][vname].append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
                 release_caches()
     for q in queries:
@@ -73,16 +87,9 @@ def ab(spark, queries, variants, n=6):
 def main():
     spark = get_spark()
     set_profile(spark)
-    queries = sys.argv[1:] or [
-        "q78_lonely_late_supplier", "q42_sql_shipping_priority",
-        "q76_large_orders", "q105_referential_audit",
-        "q05_local_supplier_volume", "q01_pricing_summary",
-        "q16_engineer_features", "q41_salted_agg",
-    ]
+    queries = sys.argv[1:] or ["q01_pricing_summary", "q78_lonely_late_supplier"]
     variants = {
-        "sh4": (lambda s: set_profile(s, sh=4), lambda s, spec, sf: spec.fn(s, sf)),
-        "sh8": (lambda s: set_profile(s, sh=8), lambda s, spec, sf: spec.fn(s, sf)),
-        "sh16": (lambda s: set_profile(s, sh=16), lambda s, spec, sf: spec.fn(s, sf)),
+        "base": (lambda s: set_profile(s), lambda s, spec, sf: spec.fn(s, sf)),
     }
     ab(spark, queries, variants)
 

@@ -93,6 +93,18 @@ def set_profile(spark, profile) -> None:
     )
 
 
+def profile_desc(profile) -> str:
+    """Human-readable profile summary for generated artifacts (PLANS.md
+    header, SCALE_SWEEP protocol string) — derived from the tuple so the
+    prose can never drift from the values (code-review r9)."""
+    sh, split_bytes, aqe, _open_cost, prefer_smj = profile
+    return (
+        f"{sh} shuffle partitions / {split_bytes // (1024 * 1024)}MB splits"
+        f" / AQE {'on' if aqe else 'off'}"
+        f" / {'SMJ default' if prefer_smj else 'SHJ preferred'}"
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

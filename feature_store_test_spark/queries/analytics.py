@@ -474,13 +474,19 @@ def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .agg(
-            F.sum(
-                F.when(F.col("o_orderkey").isNull(), F.col("n_rows")).otherwise(
-                    F.lit(0)
-                )
+            # coalesce: SUM over an EMPTY per_order (empty lineitem) is
+            # NULL where the oracle's NOT-EXISTS counts are 0 — the old
+            # count_if form returned 0 for free (code-review r9)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderkey").isNull(), F.col("n_rows")
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
             ).alias("n_ok"),
-            F.sum("n_pk0").alias("n_pk"),
-            F.sum("n_sk0").alias("n_sk"),
+            F.coalesce(F.sum("n_pk0"), F.lit(0)).alias("n_pk"),
+            F.coalesce(F.sum("n_sk0"), F.lit(0)).alias("n_sk"),
         )
     )
     ord_counts = (

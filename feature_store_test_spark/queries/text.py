@@ -709,7 +709,13 @@ _LANGID_K = 64
       FROM tri GROUP BY doc_id, lang, tri
       QUALIFY rd <= {_LANGID_K}
     ),
-    langs AS (SELECT DISTINCT lang AS cand_lang FROM documents),
+    -- NULL langs are never CANDIDATES (an unlabeled class is nothing to
+    -- predict into) — and excluding them is also load-bearing for
+    -- cross-engine parity: a NULL candidate in an exact distance tie
+    -- would sort NULLS FIRST under Spark's ascending orderBy and NULLS
+    -- LAST under DuckDB's, flipping predicted_lang (code-review r9)
+    langs AS (SELECT DISTINCT lang AS cand_lang FROM documents
+              WHERE lang IS NOT NULL),
     dist AS (
       SELECT dp.doc_id, dp.lang, l.cand_lang,
              SUM(COALESCE(ABS(dp.rd - lp.rl), {_LANGID_K})) AS d
@@ -766,8 +772,13 @@ def q157_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rd") <= K)
     )
     # candidate set from the raw column (NOT from lp: that subtree would
-    # re-run the full trigram agg just to list ~5 langs)
-    langs = docs.select(F.col("lang").alias("cand_lang")).distinct()
+    # re-run the full trigram agg just to list ~5 langs); NULL labels are
+    # excluded — see the oracle comment (tie-break NULL-ordering parity)
+    langs = (
+        docs.where(F.col("lang").isNotNull())
+        .select(F.col("lang").alias("cand_lang"))
+        .distinct()
+    )
     dist = (
         dp.crossJoin(F.broadcast(langs))
         .join(F.broadcast(lp), ["cand_lang", "tri"], "left")

@@ -52,7 +52,7 @@ def main() -> None:
     _sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    from bench import BASE_PROFILE, SCALE_PROFILE, set_profile
+    from bench import BASE_PROFILE, SCALE_PROFILE, profile_desc, set_profile
 
     def _set_profile(*profile) -> None:
         set_profile(spark, profile)
@@ -138,9 +138,10 @@ def main() -> None:
             "n_queries": len(out),
             "protocol": (
                 "min-of-2 cold-cache runs after an sf0.001 warmup pass; "
-                "x1 = sf0.1 under bench.BASE_PROFILE (4 shuffle/32MB/"
-                "AQE off/SHJ-pref), x10 = scaleprobe replica under "
-                "bench.SCALE_PROFILE (32/4MB/AQE on/SMJ)"
+                f"x1 = sf0.1 under bench.BASE_PROFILE "
+                f"({profile_desc(BASE_PROFILE)}), x10 = scaleprobe "
+                f"replica under bench.SCALE_PROFILE "
+                f"({profile_desc(SCALE_PROFILE)})"
             ),
         }
     }

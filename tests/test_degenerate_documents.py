@@ -238,6 +238,13 @@ def test_q157_langid_degenerate_oracle_parity(spark, tmp_path):
         (4, "aaa bbb ccc aaa", "es", "s", 15),  # identical text, other label
         (5, "xyz xyz xyz", "en", "s", 11),
         (6, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+        # NULL label + trigrams unique to this doc: it trains only the
+        # (non-candidate) NULL profile, so EVERY candidate distance ties
+        # at K * |doc profile| — exercising both the NULL-candidate
+        # exclusion (Spark sorts NULLS FIRST ascending, DuckDB NULLS
+        # LAST — a NULL candidate would flip the pick) and the
+        # alphabetical tiebreak itself (code-review r9)
+        (7, "zzz qqq vvv zzz", None, "s", 15),
     ]
     sf = str(tmp_path)
     spark.createDataFrame(
@@ -250,12 +257,20 @@ def test_q157_langid_degenerate_oracle_parity(spark, tmp_path):
         f"read_parquet('{sf}/documents.parquet/*.parquet')"
     )
     spec = all_queries()["q157_trigram_langid"]
-    got = sorted(tuple(r) for r in spec.fn(spark, sf).collect())
+    # NULL true-lang rows make the output tuples None-bearing; sort with
+    # a None-aware key (Python can't compare None to str)
+    nkey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got = sorted((tuple(r) for r in spec.fn(spark, sf).collect()), key=nkey)
     release_caches()
-    want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    want = sorted(
+        (tuple(r) for r in con.execute(spec.oracle).fetchall()), key=nkey
+    )
     assert got == want
-    # trigram-less docs (0, 1, 2) contribute nothing: 4 classified docs
-    assert sum(r[2] for r in got) == 4
+    # trigram-less docs (0, 1, 2) contribute nothing: 5 classified docs
+    assert sum(r[2] for r in got) == 5
+    # the NULL-label doc classifies into the alphabetically-first
+    # candidate (exact tie: none of its trigrams hit any real profile)
+    assert (None, "de", 1) in got
 
 
 def test_q156_null_text_oracle_parity(spark, tmp_path):
