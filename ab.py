@@ -14,16 +14,20 @@ import time
 
 import pyspark
 
-from bench import BASE_PROFILE, set_profile as _bench_set_profile
+from bench import (
+    BASE_PROFILE,
+    CLONE_VALIDATED_VERSIONS,
+    set_profile as _bench_set_profile,
+)
 from feature_store_test_spark.registry import all_queries, release_caches
 from feature_store_test_spark.session import get_spark
 
 SF = "/root/testdata/sf0.1"
 
-# bench.py's exact-version allowlist: on any other build clone() may
-# silently reuse shuffle map outputs (the documented cheat) — fall back
-# to the honest noop-save body
-_CLONE_VALIDATED = pyspark.__version__ in ("4.1.2",)
+# bench.py's exact-version allowlist (imported — one copy): on any other
+# build clone() may silently reuse shuffle map outputs (the documented
+# cheat) — fall back to the honest noop-save body
+_CLONE_VALIDATED = pyspark.__version__ in CLONE_VALIDATED_VERSIONS
 
 
 def set_profile(spark, sh=None, **overrides):

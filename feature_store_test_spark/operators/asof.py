@@ -19,7 +19,7 @@ layered on when a single key's history exceeds one partition's memory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -61,53 +61,71 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    collisions = set(right_values) & set(left.columns)
-    if collisions:
-        raise ValueError(f"right_values collide with left columns: {sorted(collisions)}")
 
     # At equal times: strict → left sorts first in scan order (right row
     # NOT yet visible); non-strict → right sorts first (visible).
     l_ord, r_ord = (0, 1) if strict else (1, 0)
 
-    payload_t = right.select(
-        F.struct(
-            F.col(right_time).alias("__rt"),
-            *[F.col(c).alias(c) for c in right_values],
-        ).alias("__rv")
-    ).schema["__rv"].dataType
+    # Single-parse selectExpr strings throughout (round 10, the r6
+    # construction playbook): each Column-API transformation is analyzed
+    # eagerly JVM-side, and this operator sat near the top of
+    # BENCH_SELF.plan_construction via q15/q113. The payload struct DDL
+    # and left column types come from the two sides' schemas DIRECTLY
+    # (one analysis each) instead of analyzing an extra throwaway
+    # right.select(struct(...)) projection.
+    def q(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
     ltypes = {f.name: f.dataType for f in left.schema.fields}
-
-    l_side = left.select(
-        *left.columns,
-        F.col(left_time).alias("__t"),
-        F.lit(l_ord).alias("__ord"),
-        F.lit(None).cast(payload_t).alias("__rv"),
-        F.lit(1).alias("__is_left"),
+    lcols = list(ltypes)
+    collisions = set(right_values) & set(lcols)
+    if collisions:
+        raise ValueError(
+            f"right_values collide with left columns: {sorted(collisions)}"
+        )
+    payload_ddl = (
+        "struct<__rt:"
+        + rtypes[right_time].simpleString()
+        + "".join(f",{c}:{rtypes[c].simpleString()}" for c in right_values)
+        + ">"
     )
-    r_side = right.where(F.col(right_time).isNotNull()).select(
+    payload_expr = "named_struct('__rt', " + q(right_time) + "".join(
+        f", '{c}', {q(c)}" for c in right_values
+    ) + ")"
+
+    l_side = left.selectExpr(
+        *[q(c) for c in lcols],
+        f"{q(left_time)} AS __t",
+        f"{l_ord} AS __ord",
+        f"CAST(NULL AS {payload_ddl}) AS __rv",
+        "1 AS __is_left",
+    )
+    r_side = right.where(f"{q(right_time)} IS NOT NULL").selectExpr(
         *[
-            (F.col(c) if c in keys else F.lit(None).cast(ltypes[c])).alias(c)
-            for c in left.columns
+            (
+                q(c)
+                if c in keys
+                else f"CAST(NULL AS {ltypes[c].simpleString()}) AS {q(c)}"
+            )
+            for c in lcols
         ],
-        F.col(right_time).alias("__t"),
-        F.lit(r_ord).alias("__ord"),
-        F.struct(
-            F.col(right_time).alias("__rt"),
-            *[F.col(c).alias(c) for c in right_values],
-        ).alias("__rv"),
-        F.lit(0).alias("__is_left"),
+        f"{q(right_time)} AS __t",
+        f"{r_ord} AS __ord",
+        f"{payload_expr} AS __rv",
+        "0 AS __is_left",
     )
 
-    time_ord = F.col("__t") if direction == "backward" else F.col("__t").desc()
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(time_ord, "__ord")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    time_ord = "__t" if direction == "backward" else "__t DESC"
+    win = (
+        f"OVER (PARTITION BY {', '.join(q(k) for k in keys)}"
+        f" ORDER BY {time_ord}, __ord"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     matched = (
         l_side.unionByName(r_side)
-        .withColumn("__match", F.last("__rv", ignorenulls=True).over(w))
-        .where(F.col("__is_left") == 1)
+        .selectExpr("*", f"last(__rv, true) {win} AS __match")
+        .where("__is_left = 1")
     )
     if tolerance_seconds is not None:
         # integer-microsecond arithmetic: a double-cast gap (epoch seconds
@@ -121,7 +139,7 @@ def asof_join(
             "__match",
             F.when(gap_us <= F.lit(tol_us), F.col("__match")),
         )
-    return matched.select(
-        *left.columns,
-        *[F.col(f"__match.{c}").alias(c) for c in right_values],
+    return matched.selectExpr(
+        *[q(c) for c in lcols],
+        *[f"__match.{q(c)} AS {q(c)}" for c in right_values],
     )

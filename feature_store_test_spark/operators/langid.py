@@ -1,0 +1,119 @@
+"""Cavnar-Trenkle trigram rank-distance language identification.
+
+Factored train/classify halves of q157 (queries/text.py) so the batch
+query and the streaming twin (streaming/langid.py) share ONE
+implementation — the same split as operators/dedup.py vs
+streaming/neardedup.py. All-integer (transcendental-free), pure SQL:
+classification is a rank-distance join against a broadcast profile
+table, no Python stages.
+
+Reference parity: the reference has no text analysis at all; this is
+north-star surface (BASELINE.json: text analysis / language ID).
+
+Scale: training is one (lang, tri) count + per-lang top-K window —
+profiles are |langs| x K rows (~hundreds), broadcast everywhere after.
+Classification explodes each doc into its trigrams once, takes the
+per-doc top-K, and joins the broadcast profiles — per-doc work bounded
+by K, shuffles bounded by (doc, tri) distinct counts. 100x-probed
+sub-linear as q157 (r9: 20.6x wall for 100x data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+LANGID_K = 64
+
+
+def trigram_rows(df: DataFrame, *carry_cols: str) -> DataFrame:
+    """Explode ``text`` into lowercase character trigrams: one row per
+    position, columns (*carry_cols, tri). Docs shorter than 3 chars are
+    dropped (Spark's sequence(1, n) with n < 1 DESCENDS instead of
+    returning empty — the q157 gate)."""
+    carry = list(carry_cols)
+    return (
+        df.selectExpr(*carry, "lower(text) AS s")
+        .where(F.length("s") >= 3)
+        .selectExpr(*carry, "explode(sequence(1, length(s) - 2)) AS i", "s")
+        .selectExpr(*carry, "substring(s, i, 3) AS tri")
+    )
+
+
+def train_trigram_profiles(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    k: int = LANGID_K,
+) -> tuple[DataFrame, DataFrame]:
+    """(profiles, langs) from a labeled corpus.
+
+    profiles: (cand_lang, tri, rl) — each language's top-``k`` trigrams
+    by frequency, rank ties broken on the trigram (engine-portable).
+    langs: DISTINCT non-NULL labels — NULL is never a candidate (an
+    unlabeled class is nothing to predict into; also load-bearing for
+    cross-engine tie-break parity — Spark orders NULLS FIRST ascending,
+    DuckDB NULLS LAST, so a NULL candidate in an exact distance tie
+    would flip predictions between engines; code-review r9)."""
+    tri = trigram_rows(docs, lang_col)
+    wl = Window.partitionBy("cand_lang").orderBy(F.col("cnt").desc(), "tri")
+    profiles = (
+        tri.groupBy(F.col(lang_col).alias("cand_lang"), "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("cand_lang", "tri", F.row_number().over(wl).alias("rl"))
+        .where(F.col("rl") <= k)
+    )
+    langs = (
+        docs.where(F.col(lang_col).isNotNull())
+        .select(F.col(lang_col).alias("cand_lang"))
+        .distinct()
+    )
+    return profiles, langs
+
+
+def classify_trigrams(
+    docs: DataFrame,
+    profiles: DataFrame,
+    langs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = LANGID_K,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Predict each doc's language by minimum rank distance.
+
+    Returns (id_col, *carry_cols, predicted_lang). Distance between a
+    doc's top-``k`` trigram ranks and a language profile is
+    SUM(|rd - rl|) with the out-of-profile penalty ``k`` (the
+    Cavnar-Trenkle convention); ties break on cand_lang. ``profiles``
+    and ``langs`` are broadcast — they are K x |langs| and |langs| rows.
+    Docs with no trigrams (< 3 chars) are absent from the output, the
+    same contract as the batch query."""
+    carry = list(carry_cols or [])
+    tri = trigram_rows(docs, id_col, *carry)
+    wd = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), "tri")
+    dp = (
+        tri.groupBy(id_col, *carry, "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(id_col, *carry, "tri", F.row_number().over(wd).alias("rd"))
+        .where(F.col("rd") <= k)
+    )
+    dist = (
+        dp.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(profiles), ["cand_lang", "tri"], "left")
+        .groupBy(id_col, *carry, "cand_lang")
+        .agg(
+            F.sum(
+                F.coalesce(F.abs(F.col("rd") - F.col("rl")), F.lit(k))
+            ).alias("d")
+        )
+    )
+    wp = Window.partitionBy(id_col).orderBy("d", "cand_lang")
+    return (
+        dist.select(
+            id_col,
+            *carry,
+            F.col("cand_lang").alias("predicted_lang"),
+            F.row_number().over(wp).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -399,124 +399,87 @@ def q100_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fused single-pass form (round-5 rewrite of the 4-branch anti-join
-    # sweep, which scanned lineitem 3x):
-    # - lineitem is scanned ONCE: two broadcast left joins (part, supplier
-    #   key columns) plus the one real shuffle left join to orders (facts
-    #   are never broadcast), then a single partial-aggregated count row
-    #   holding all three orphan counts.
-    # - a LEFT join + COUNT(parent IS NULL) equals the oracle's NOT EXISTS
-    #   count because parent keys are primary keys (unique): duplicate
-    #   parents could only multiply MATCHED rows, never the NULL rows being
-    #   counted — and chained joins each match at most one parent row.
-    # - bloom_prefilter (operators/bloomjoin.py) is deliberately NOT used
-    #   here: a bloom filter pays by dropping probe rows BEFORE the
-    #   shuffle, and on referential-audit data the FK match rate is ~100%
-    #   (orphans are the exception being counted) — every lineitem row
-    #   passes the filter and still shuffles, so the bloom is pure added
-    #   cost. It pays in q135's shape, where most probe rows MISS
-    #   (90% shuffle reduction there). A deploy expecting heavily-orphaned
-    #   loads would flip this, not the healthy-FK steady state.
-    # Round-6 A/B, REJECTED (don't re-run): joining orders FIRST so the
-    # pk/sk broadcast probes run in the parallel post-shuffle tasks
-    # instead of the single-threaded scan task measured ~2x SLOWER
-    # (0.48 -> 0.91 interleaved min-of-6) — the probes cost less in the
-    # scan pipeline than the reordered plan's extra stage structure.
-    # Round-7 A/Bs, both REJECTED (don't re-run):
-    # - fused union+two-level tagged agg (lineitem ∪ orders keyed on
-    #   orderkey, one shuffle, no joins): ~15% SLOWER interleaved
-    #   min-of-12 (0.563 vs 0.650) — the 150k-key hash agg costs more
-    #   than the SHJ probe + separate orders branch it replaces;
-    # - ONE combined (kind, key) parent broadcast for pk/sk/ck reused
-    #   across the three joins: a wash (0.576 vs 0.600 min interleaved)
-    #   and still 4 jobs — Catalyst pushes each join's kind-literal into
-    #   the build side as a filter, so the three BroadcastExchanges stay
-    #   distinct and nothing is reused.
-    li = load_table(spark, "lineitem", sf_dir)
-    o = load_table(spark, "orders", sf_dir)
-    pk = F.broadcast(
-        load_table(spark, "part", sf_dir).select(F.col("p_partkey").alias("pk"))
-    )
-    sk = F.broadcast(
-        load_table(spark, "supplier", sf_dir).select(F.col("s_suppkey").alias("sk"))
-    )
-    ck = F.broadcast(
-        load_table(spark, "customer", sf_dir).select(F.col("c_custkey").alias("ck"))
-    )
-    # PRE-AGGREGATE through the orders join (round 9, overturning the r5
-    # rejection — the pure-execution protocol moved the break-even): the
-    # broadcast pk/sk probes still run row-level in the scan pipeline,
-    # but their null counts fold into a per-orderkey partial aggregation
-    # BEFORE the shuffle, so the orders SHJ shuffles 150k pre-agg rows
-    # instead of 600k raw lines, and the orderkey-orphan count expands
-    # back through n_rows. Interleaved A/B min 0.777 -> 0.606 (med 0.929
-    # -> 0.718). This is also the skewed-100-TB-load shape the old
-    # comment promised to swap to: multi-GB order groups combine
-    # map-side instead of shuffling raw.
-    # shuffle_hash on orders: both sides still shuffle on the key (orders
-    # is a fact — never broadcast); the probe streams the pre-agg against
-    # a per-partition hash of orders' single key column instead of
-    # sorting both sides; PK build side is uniform by construction.
-    per_order = (
-        li.select("l_orderkey", "l_partkey", "l_suppkey")
-        .join(pk, F.col("l_partkey") == F.col("pk"), "left")
-        .join(sk, F.col("l_suppkey") == F.col("sk"), "left")
-        .groupBy("l_orderkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count_if(F.col("pk").isNull()).alias("n_pk0"),
-            F.count_if(F.col("sk").isNull()).alias("n_sk0"),
+    # sweep, which scanned lineitem 3x), expressed since round 10 as ONE
+    # spark.sql string over the memoized temp views — identical physical
+    # plan to the previous Column-API chain (verified side by side: same
+    # joins, same exchanges, same 4 scheduler jobs, execution A/B a wash
+    # at min 0.573 vs 0.584), but constructed in a single parse+analysis
+    # round-trip instead of ~20 eagerly-analyzed API calls: plan
+    # construction 0.177s -> 0.049s min-of-8 interleaved (this builder
+    # was the top line of BENCH_SELF.plan_construction two rounds
+    # running). Plan shape, unchanged:
+    # - lineitem is scanned ONCE: two broadcast left joins (part,
+    #   supplier key columns) in the scan pipeline, whose null counts
+    #   PRE-AGGREGATE per orderkey BEFORE the shuffle (round 9: the
+    #   orders SHJ shuffles 150k pre-agg rows instead of 600k raw lines;
+    #   interleaved A/B min 0.777 -> 0.606) — also the skewed-100-TB
+    #   shape: multi-GB order groups combine map-side.
+    # - SHUFFLE_HASH on orders: both sides still shuffle on the key
+    #   (orders is a fact — never broadcast); the probe streams against a
+    #   per-partition hash instead of sorting both sides.
+    # - a LEFT join + COUNT(parent IS NULL) equals the oracle's NOT
+    #   EXISTS count because parent keys are primary keys (unique), and
+    #   chained joins each match at most one parent row.
+    # - COALESCE: SUM over an EMPTY per_order (empty lineitem) is NULL
+    #   where the oracle's NOT-EXISTS counts are 0 (code-review r9).
+    # - bloom_prefilter deliberately NOT used: FK match rate is ~100%
+    #   (orphans are the exception), so every probe row passes the filter
+    #   and still shuffles — pure added cost; it pays in q135's
+    #   mostly-miss shape instead.
+    # Rejected A/Bs (don't re-run): orders-first join order ~2x slower
+    # (r6, 0.48 -> 0.91); fused union+tagged agg ~15% slower (r7);
+    # combined (kind, key) parent broadcast a wash with kind-literals
+    # pushed into the build sides (r7); round 10 re-litigated the
+    # combined build as a PARITY-coded keyspace (k*3+tag — no literal to
+    # push, one BroadcastExchange + 2 ReusedExchange, 4 jobs -> 2) and it
+    # was still SLOWER (min 0.749 -> 0.929: 600k probes against one 37k-
+    # entry hash table cost more than three cache-resident small tables);
+    # ck-branch SHUFFLE_HASH (4 jobs -> 3) likewise a wash (min 0.460 ->
+    # 0.490, med 0.521 -> 0.528) and the customer dim broadcast is the
+    # right 100 TB plan anyway.
+    from feature_store_test_spark.data import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH per_order AS (
+          SELECT /*+ BROADCAST(p), BROADCAST(s) */ l_orderkey,
+                 COUNT(*) AS n_rows,
+                 COUNT_IF(p.p_partkey IS NULL) AS n_pk0,
+                 COUNT_IF(s.s_suppkey IS NULL) AS n_sk0
+          FROM lineitem
+          LEFT JOIN part p ON l_partkey = p_partkey
+          LEFT JOIN supplier s ON l_suppkey = s_suppkey
+          GROUP BY l_orderkey
+        ),
+        agg AS (
+          SELECT /*+ SHUFFLE_HASH(o) */
+                 COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL
+                                   THEN n_rows ELSE 0 END), 0) AS n_ok,
+                 COALESCE(SUM(n_pk0), 0) AS n_pk,
+                 COALESCE(SUM(n_sk0), 0) AS n_sk
+          FROM per_order LEFT JOIN orders o ON l_orderkey = o.o_orderkey
+        ),
+        ckagg AS (
+          SELECT /*+ BROADCAST(c) */
+                 COUNT_IF(c.c_custkey IS NULL) AS n_ck
+          FROM orders LEFT JOIN customer c ON o_custkey = c_custkey
         )
+        SELECT fk, n_orphans FROM (
+          SELECT /*+ REPARTITION(1) */ kv.fk AS fk, kv.n_orphans AS n_orphans
+          FROM (
+            SELECT explode(array(
+              named_struct('fk', 'lineitem.orderkey', 'n_orphans', n_ok),
+              named_struct('fk', 'lineitem.partkey',  'n_orphans', n_pk),
+              named_struct('fk', 'lineitem.suppkey',  'n_orphans', n_sk))) AS kv
+            FROM agg
+            UNION ALL
+            SELECT named_struct('fk', 'orders.custkey', 'n_orphans', n_ck)
+            FROM ckagg
+          )
+        ) SORT BY fk
+        """
     )
-    li_counts = (
-        per_order.join(
-            o.select("o_orderkey").hint("shuffle_hash"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-            "left",
-        )
-        .agg(
-            # coalesce: SUM over an EMPTY per_order (empty lineitem) is
-            # NULL where the oracle's NOT-EXISTS counts are 0 — the old
-            # count_if form returned 0 for free (code-review r9)
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("o_orderkey").isNull(), F.col("n_rows")
-                    ).otherwise(F.lit(0))
-                ),
-                F.lit(0),
-            ).alias("n_ok"),
-            F.coalesce(F.sum("n_pk0"), F.lit(0)).alias("n_pk"),
-            F.coalesce(F.sum("n_sk0"), F.lit(0)).alias("n_sk"),
-        )
-    )
-    ord_counts = (
-        o.select("o_custkey")
-        .join(ck, F.col("o_custkey") == F.col("ck"), "left")
-        .agg(F.count_if(F.col("ck").isNull()).alias("n_ck"))
-    )
-    li_rows = li_counts.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("lineitem.orderkey").alias("fk"),
-                    F.col("n_ok").alias("n_orphans"),
-                ),
-                F.struct(
-                    F.lit("lineitem.partkey").alias("fk"),
-                    F.col("n_pk").alias("n_orphans"),
-                ),
-                F.struct(
-                    F.lit("lineitem.suppkey").alias("fk"),
-                    F.col("n_sk").alias("n_orphans"),
-                ),
-            )
-        ).alias("kv")
-    ).select("kv.fk", "kv.n_orphans")
-    ord_rows = ord_counts.select(
-        F.lit("orders.custkey").alias("fk"), F.col("n_ck").alias("n_orphans")
-    )
-    out = li_rows.unionByName(ord_rows)
-    return out.repartition(1).sortWithinPartitions("fk")
 
 
 # ---------------------------------------------------------------------------

@@ -1033,41 +1033,45 @@ def q86_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sequence", "window", "funnel", "regexp"),
 )
 def q89_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    t0 = F.min("ts").over(Window.partitionBy("user_id"))
-    initial = (
-        F.when(F.col("event_type") == "view", "v")
-        .when(F.col("event_type") == "click", "c")
-        .when(F.col("event_type") == "purchase", "p")
-        .otherwise("x")
-    )
-    windowed = ev.withColumn("t0", t0).where(
-        F.col("ts") <= F.col("t0") + F.expr("INTERVAL 2 HOURS")
-    )
-    seqs = (
-        windowed.select("user_id", "ts", "event_id", initial.alias("i"))
-        .groupBy("user_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "i"))),
-                    lambda s: s["i"],
-                ),
-                "",
-            ).alias("seq")
+    # Single spark.sql string since round 10 (this builder sat in the top
+    # plan-construction list two rounds running): same physical plan as
+    # the previous ~10-call Column-API chain — window + filter + sequence
+    # groupBy sharing the user_id partitioning, REPARTITION(1)+SORT BY
+    # replacing repartition(1).sortWithinPartitions — verified row-equal
+    # with a wash execution A/B (min 0.237 vs 0.246, med 0.316 vs 0.321,
+    # 1 scheduler job both ways) and construction 0.161s -> 0.064s
+    # min-of-8 interleaved.
+    from feature_store_test_spark.data import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH windowed AS (
+          SELECT user_id, ts, event_id,
+                 CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                      WHEN 'purchase' THEN 'p' ELSE 'x' END AS i,
+                 MIN(ts) OVER (PARTITION BY user_id) AS t0
+          FROM events
+        ),
+        seqs AS (
+          SELECT user_id,
+                 array_join(transform(
+                   array_sort(collect_list(
+                     named_struct('ts', ts, 'event_id', event_id, 'i', i))),
+                   s -> s.i), '') AS seq
+          FROM windowed WHERE ts <= t0 + INTERVAL 2 HOURS
+          GROUP BY user_id
         )
-    )
-    deepest = (
-        F.when(F.col("seq").rlike("v.*c.*p"), 3)
-        .when(F.col("seq").rlike("v.*c"), 2)
-        .when(F.col("seq").rlike("v"), 1)
-        .otherwise(0)
-    )
-    return (
-        seqs.select(deepest.alias("deepest_stage"))
-        .groupBy("deepest_stage")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-        .repartition(1).sortWithinPartitions("deepest_stage")
+        SELECT deepest_stage, n_users FROM (
+          SELECT /*+ REPARTITION(1) */ deepest_stage, COUNT(*) AS n_users
+          FROM (
+            SELECT CASE WHEN seq RLIKE 'v.*c.*p' THEN 3
+                        WHEN seq RLIKE 'v.*c' THEN 2
+                        WHEN seq RLIKE 'v' THEN 1 ELSE 0 END AS deepest_stage
+            FROM seqs
+          ) GROUP BY deepest_stage
+        ) SORT BY deepest_stage
+        """
     )
 
 

@@ -573,3 +573,130 @@ def q130_interframe_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q158 — perceptual image near-dup (LAION-style frame/image dedup; r9
+# verdict item 3): each doc synthesizes a small RGB image whose pattern is
+# an md5-coefficient bilinear form of its GROUP (doc_id div 5) plus a
+# per-doc single-pixel perturbation, round-trips it through REAL PNG
+# bytes (mixed-filter encode -> full decode), then runs the perceptual
+# near-dup operator: integer 8x8 average-hash on decoded luma ->
+# exact-collapse on the hash tuple -> the SAME banded-LSH candidate join
+# as q21 over DISTINCT hashes -> exact Hamming verify -> group expansion.
+# The oracle replays hash, banding, candidates and verification in
+# closed form from the same pixel formula (PNG is lossless, so decoded
+# pixels == the formula). Zero all-pairs: candidates come only from
+# (band, value) equi-join buckets. See operators/perceptual.py for the
+# 100 TB argument (birthday term of 16-bit bands + the grid/bands
+# parameters that widen the bucket space).
+# ---------------------------------------------------------------------------
+_AHASH_LUM = "299*(v % 256) + 587*((v+37) % 256) + 114*((v+74) % 256)"
+
+@register(
+    "q158_perceptual_near_dups",
+    oracle=f"""
+    WITH coef AS (
+      SELECT doc_id, grp, 16 + 8 * (grp % 2) AS wh,
+             (strpos('0123456789abcdef', substr(md5(CAST(grp AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(grp AS VARCHAR)), 2, 1)) - 1) AS ay,
+             (strpos('0123456789abcdef', substr(md5(CAST(grp AS VARCHAR)), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(grp AS VARCHAR)), 4, 1)) - 1) AS ax,
+             (strpos('0123456789abcdef', substr(md5(CAST(grp AS VARCHAR)), 5, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(grp AS VARCHAR)), 6, 1)) - 1) AS am
+      FROM (SELECT doc_id, doc_id // 5 AS grp FROM documents)
+    ),
+    lum0 AS (
+      SELECT doc_id, wh, (y.y * 8) // wh AS by, (x.x * 8) // wh AS bx,
+             y.y * (1 + ay) + x.x * (1 + ax) + y.y * x.x * (1 + am)
+             + CASE WHEN y.y = ay % wh AND x.x = ax % wh
+                    THEN (doc_id % 5) * 40 ELSE 0 END AS v
+      FROM coef,
+           unnest(generate_series(0, wh - 1)) AS y(y),
+           unnest(generate_series(0, wh - 1)) AS x(x)
+    ),
+    blocks AS (
+      SELECT doc_id, by, bx,
+             SUM({_AHASH_LUM}) AS bsum, COUNT(*) AS bnpx
+      FROM lum0 GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT doc_id, SUM(bsum) AS tsum, SUM(bnpx) AS npx
+      FROM blocks GROUP BY 1
+    ),
+    bits AS (
+      SELECT b.doc_id, (by * 8 + bx) % 4 AS band, (by * 8 + bx) // 4 AS pos,
+             CASE WHEN b.bsum * t.npx > t.tsum * b.bnpx THEN 1 ELSE 0 END AS bit
+      FROM blocks b JOIN tot t USING (doc_id)
+    ),
+    sig AS (
+      SELECT doc_id, band, SUM(bit * CAST(POW(2, pos) AS BIGINT)) AS mh
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT c.id_a, c.id_b, SUM(bit_count(xor(sa.mh, sb.mh))) AS h
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.band = sa.band
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(h AS INT) AS hamming FROM ham WHERE h <= 6
+    """,
+    doc="perceptual (average-hash) image near-dups: real PNG round-trip -> banded LSH -> Hamming verify",
+    tags=("multimodal", "dedup", "lsh", "codec", "udf"),
+)
+def q158_perceptual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from feature_store_test_spark.operators.perceptual import perceptual_near_dups
+
+    docs = load_table_plain(spark, "documents", sf_dir)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from feature_store_test_spark.operators.codecs import encode_png
+
+        alphabet = "0123456789abcdef"
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                grp = did // 5
+                hx = hashlib.md5(str(grp).encode()).hexdigest()
+                ay = alphabet.index(hx[0]) * 16 + alphabet.index(hx[1])
+                ax = alphabet.index(hx[2]) * 16 + alphabet.index(hx[3])
+                am = alphabet.index(hx[4]) * 16 + alphabet.index(hx[5])
+                wh = 16 + 8 * (grp % 2)
+                y, x = np.ogrid[0:wh, 0:wh]
+                base = y * (1 + ay) + x * (1 + ax) + y * x * (1 + am)
+                px = base[:, :, None] + np.arange(3)[None, None, :] * 37
+                px = px.copy()
+                px[ay % wh, ax % wh, :] += (did % 5) * 40
+                blobs.append(
+                    encode_png((px % 256).astype(np.uint8), filter_type="mixed")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    imgs = docs.select("doc_id").mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("blob", T.BinaryType()),
+            ]
+        ),
+    )
+    return perceptual_near_dups(
+        imgs, blob_col="blob", id_col="doc_id", grid=8, bands=4, max_hamming=6
+    )

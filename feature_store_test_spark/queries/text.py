@@ -682,7 +682,7 @@ def q156_mlm_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 # would run once (or on a sample) and persist; here it rides the query as
 # a broadcast-build job, the same shape q134 uses for corpus stats.
 # ---------------------------------------------------------------------------
-_LANGID_K = 64
+from feature_store_test_spark.operators.langid import LANGID_K as _LANGID_K  # noqa: E402
 
 
 @register(
@@ -736,62 +736,31 @@ _LANGID_K = 64
     tags=("text", "langid", "window", "agg"),
 )
 def q157_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # Train + classify through the SHARED operator halves (round 10:
+    # operators/langid.py, so the streaming twin in streaming/langid.py
+    # runs the identical implementation — the dedup/neardedup split).
+    # Expression trees are unchanged from the r9 body; the trigram
+    # explode appears once per consumer in the plan exactly as before
+    # (the shared `tri` frame was never cached). Notes that still apply:
+    # - SPREAD loader: the trigram explode (~n_chars rows per doc,
+    #   twice — profile build + classification) is exactly the heavy
+    #   per-row work the round-robin exchange exists for; interleaved
+    #   A/B at sf0.1: plain 5.17 / spread 1.61.
+    # - position explode + codegen substring (the q102 gram precedent);
+    #   sub-trigram docs filtered (Spark's sequence(1, n) DESCENDS for
+    #   n < 1; DuckDB's generate_series is naturally empty).
+    # - langs from the raw column (NOT from the profile subtree, which
+    #   would re-run the full trigram agg to list ~5 langs); NULL labels
+    #   excluded — tie-break NULL-ordering parity (code-review r9).
+    from feature_store_test_spark.operators.langid import (
+        classify_trigrams,
+        train_trigram_profiles,
+    )
 
-    K = _LANGID_K
-    # SPREAD loader: the trigram explode (≈ n_chars rows per doc, twice —
-    # profile build + classification) is exactly the heavy per-row work
-    # the round-robin exchange exists for; interleaved A/B at sf0.1:
-    # plain 5.17 / spread 1.61 (the single-row-group scan serialized both
-    # explode passes on one core)
     docs = load_table(spark, "documents", sf_dir)
-    # position explode + codegen substring (the q102 gram precedent —
-    # building the trigram array through an interpreted transform lambda
-    # allocates per doc for nothing). Spark's sequence(1, n) with n < 1
-    # DESCENDS instead of returning empty, so sub-trigram docs are
-    # filtered here; DuckDB's generate_series is naturally empty for
-    # them — either way such docs are absent from the output.
-    tri = (
-        docs.selectExpr("doc_id", "lang", "lower(text) AS s")
-        .where(F.length("s") >= 3)
-        .selectExpr("doc_id", "lang", "explode(sequence(1, length(s) - 2)) AS i", "s")
-        .selectExpr("doc_id", "lang", "substring(s, i, 3) AS tri")
-    )
-    wl = Window.partitionBy("cand_lang").orderBy(F.col("cnt").desc(), "tri")
-    lp = (
-        tri.groupBy(F.col("lang").alias("cand_lang"), "tri")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("cand_lang", "tri", F.row_number().over(wl).alias("rl"))
-        .where(F.col("rl") <= K)
-    )
-    wd = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "tri")
-    dp = (
-        tri.groupBy("doc_id", "lang", "tri")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("doc_id", "lang", "tri", F.row_number().over(wd).alias("rd"))
-        .where(F.col("rd") <= K)
-    )
-    # candidate set from the raw column (NOT from lp: that subtree would
-    # re-run the full trigram agg just to list ~5 langs); NULL labels are
-    # excluded — see the oracle comment (tie-break NULL-ordering parity)
-    langs = (
-        docs.where(F.col("lang").isNotNull())
-        .select(F.col("lang").alias("cand_lang"))
-        .distinct()
-    )
-    dist = (
-        dp.crossJoin(F.broadcast(langs))
-        .join(F.broadcast(lp), ["cand_lang", "tri"], "left")
-        .groupBy("doc_id", "lang", "cand_lang")
-        .agg(F.sum(F.coalesce(F.abs(F.col("rd") - F.col("rl")), F.lit(K))).alias("d"))
-    )
-    wp = Window.partitionBy("doc_id").orderBy("d", "cand_lang")
-    pred = (
-        dist.select(
-            "doc_id", "lang", F.col("cand_lang").alias("predicted_lang"),
-            F.row_number().over(wp).alias("rn"),
-        )
-        .where(F.col("rn") == 1)
+    profiles, langs = train_trigram_profiles(docs, k=_LANGID_K)
+    pred = classify_trigrams(
+        docs, profiles, langs, k=_LANGID_K, carry_cols=["lang"]
     )
     return pred.groupBy("lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs")

@@ -33,16 +33,11 @@ def main() -> None:
     )
     from feature_store_test_spark.session import get_spark
 
-    # Same profiles as bench.py, same rationale (size configs to the SF;
-    # AQE pays ~60ms/stage-job here for trivial stats at 10MB inputs but
-    # is the point of the 10x layout).
-    spark = get_spark(
-        app_name="fsts-sweep",
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": "16m",
-            "spark.sql.files.openCostInBytes": "512k",
-        },
-    )
+    # File-split confs are owned by bench's profiles (set via _set_profile
+    # below before any timing) — no extra_conf here, so the values can't
+    # drift from bench.BASE_PROFILE (r9 ADVICE: a dead 16m/512k copy under
+    # a 'same as bench' comment contradicted the single-source cleanup).
+    spark = get_spark(app_name="fsts-sweep")
 
     # the EXACT bench profiles (round 9: this module had drifted to a
     # stale 8-partition copy of a pre-r5 base profile — profile literals
