@@ -586,11 +586,19 @@ def main() -> None:
                 .groupBy("doc_id")
                 .agg(_F.sum("n_sub").alias("bpe_tokens"))
             )
-            t0 = time.perf_counter()
-            _tot = _enc.selectExpr(
-                "sum(bpe_tokens) AS s", "count(*) AS n"
-            ).collect()[0]
-            synth_encode_sec = time.perf_counter() - t0
+            # min-of-3 inside ONE window (r9 verdict item 6): the
+            # single-shot figure read 1.0-1.2M tokens/sec on a quiet box
+            # and 456k on the driver box — the same host-steal story as
+            # the query timings, so the tokens/sec that transfers is the
+            # min-of-N estimator the query loop already uses.
+            _enc_runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _tot = _enc.selectExpr(
+                    "sum(bpe_tokens) AS s", "count(*) AS n"
+                ).collect()[0]
+                _enc_runs.append(time.perf_counter() - t0)
+            synth_encode_sec = min(_enc_runs)
             _set_profile(*BASE_PROFILE)
         finally:
             shutil.rmtree(_synth_dir, ignore_errors=True)
@@ -612,6 +620,7 @@ def main() -> None:
                 "train_10k_merges_sec": round(synth_e2e_train_sec, 2),
                 "merges_trained": len(_cm),
                 "encode_sec": round(synth_encode_sec, 2),
+                "encode_sec_runs": [round(r, 2) for r in _enc_runs],
                 "total_subtokens": int(_tot["s"]),
                 "encode_tokens_per_sec": int(_tot["s"] / synth_encode_sec),
             },

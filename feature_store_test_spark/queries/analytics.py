@@ -356,6 +356,10 @@ def q99_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "window", "sequence", "agg"),
 )
 def q100_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9 bench flagged a +18% r8->r9 move on the driver box with this
+    # builder UNTOUCHED; round-10 re-measure (ab.py, min-of-6): 0.286
+    # in one window on the same HEAD that read 0.302 an hour earlier —
+    # host noise, not a regression (single-job, floor-dominated).
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (

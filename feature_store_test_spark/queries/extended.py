@@ -1040,10 +1040,13 @@ def q89_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replacing repartition(1).sortWithinPartitions — verified row-equal
     # with a wash execution A/B (min 0.237 vs 0.246, med 0.316 vs 0.321,
     # 1 scheduler job both ways) and construction 0.161s -> 0.064s
-    # min-of-8 interleaved.
-    from feature_store_test_spark.data import register_temp_views
-
-    register_temp_views(spark, sf_dir)
+    # min-of-8 interleaved. PRIVATE view, not register_temp_views (the
+    # q57/q107/events_v precedent): the global registrar loads ALL ten
+    # tables, but this query must run on events-only fixture dirs
+    # (tests/test_degenerate_events.py), and overwriting the shared
+    # 'events' view under a different sf_dir would silently go stale for
+    # later global-view consumers (the memo wouldn't re-register).
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("q89_events")
     return spark.sql(
         """
         WITH windowed AS (
@@ -1051,7 +1054,7 @@ def q89_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
                       WHEN 'purchase' THEN 'p' ELSE 'x' END AS i,
                  MIN(ts) OVER (PARTITION BY user_id) AS t0
-          FROM events
+          FROM q89_events
         ),
         seqs AS (
           SELECT user_id,

@@ -658,7 +658,15 @@ def q158_perceptual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from feature_store_test_spark.operators.perceptual import perceptual_near_dups
 
-    docs = load_table_plain(spark, "documents", sf_dir)
+    # SPREAD loader (the q122/q124 REAL-codec discipline): the synth ->
+    # decode -> hash chain is CPU-bound Python over a single-row-group
+    # fixture file that would otherwise scan (and therefore encode AND
+    # decode) on one core; the round-robin exchange recovers parallelism
+    # locally and disables itself on any real multi-file table.
+    # Interleaved A/B at sf0.1 (min-of-6): spread 0.236 vs plain 0.273
+    # (med 0.352 vs 0.359 — the tiny fixture images keep the delta small
+    # here; the discipline matters at the 10x/100x image counts).
+    docs = load_table(spark, "documents", sf_dir)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

@@ -220,6 +220,11 @@ def q81_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "rangejoin", "join", "agg"),
 )
 def q82_activity_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9 bench flagged a +21% r8->r9 move on the driver box with this
+    # builder UNTOUCHED; round-10 re-measure (ab.py, min-of-6) read
+    # 0.401-0.417 across three windows on one evening vs the 0.195 idle
+    # r9 figure — a ~2x swing on identical code is the documented host
+    # steal band, not a regression.
     from feature_store_test_spark.operators.rangejoin import interval_join
 
     ev = load_table_plain(spark, "events", sf_dir)

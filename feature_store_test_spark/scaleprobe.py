@@ -100,6 +100,10 @@ PROBED = [
     "q155_doc_chunking",
     "q156_mlm_corruption",
     "q157_trigram_langid",
+    # round 10 (r9 verdict item 3): perceptual image near-dup — the
+    # decode+hash mapInPandas stage is byte-sized like q88, and the
+    # banded candidate join runs over exact-collapsed DISTINCT hashes
+    "q158_perceptual_near_dups",
 ]
 
 
