@@ -108,6 +108,7 @@ def cosine_topk_arrow(
     k: int = 5,
     round_dp: int = 6,
     chunk_bytes: int = 128 * 1024 * 1024,
+    lin_map: list[list[float]] | None = None,
 ) -> DataFrame:
     """``cosine_topk`` on the BLAS path: the corpus scan scores each Arrow
     batch against the whole (broadcast, request-sized) query matrix with
@@ -115,6 +116,19 @@ def cosine_topk_arrow(
     pair — the faiss/ScaNN exhaustive-scan inner loop, and the right
     brute-force shape at scale (measured ~5x on a 50k-corpus × 5k-query
     scan; the fold form evaluates 250M interpreted lambdas there).
+
+    ``lin_map`` (round 10): an optional (k_out × dim) projection matrix
+    applied to BOTH sides inside the scorer (one extra GEMM per batch)
+    before normalization — compress-then-score for the PCA candidate
+    path without materializing a projected column. The JVM fold this
+    replaces ran interpreted per array element (61M lambda evals over
+    the 10x corpus ≈ 30s+ of q91's exec) and cost ~3.4s of eager
+    per-dim Column analysis at every plan build. Numerics: projection
+    joins the scorer's existing tolerance contract — GEMM accumulation
+    differs from the ordered fold in the last ulp, absorbed by the
+    ``round_dp`` round except exactly at a rounding boundary (same
+    caveat already documented for the scoring GEMM itself; candidates
+    only — exact rescoring downstream is unaffected).
 
     Exactness: scores are rounded to ``round_dp`` BEFORE ranking with the
     id tiebreak, like ``cosine_topk``; each scan chunk emits every row
@@ -140,17 +154,27 @@ def cosine_topk_arrow(
     # constructions of the same request batch (bench min-of-N loops, the
     # driver's per-query runs) pay the driver collect job once. Same
     # staleness caveat as _memo_train, documented there.
+    P = None if lin_map is None else np.asarray(lin_map, dtype=np.float64)
+
     def _collect_q():
         q_rows = queries.select(id_col, vec_col).collect()
         qids = [r[id_col] for r in q_rows]
         Qm = np.asarray([r[vec_col] for r in q_rows], dtype=np.float64)
         if len(Qm):
+            if P is not None:
+                Qm = Qm @ P.T
             qn = np.linalg.norm(Qm, axis=1, keepdims=True)
             qn[qn == 0.0] = 1.0
             Qm = Qm / qn
         return qids, Qm
 
-    qids, Q = _memo_query_matrix(queries, id_col, vec_col, _collect_q)
+    qids, Q = _memo_query_matrix(
+        queries,
+        id_col,
+        vec_col,
+        _collect_q,
+        extra=() if P is None else ("lin_map", P.shape, P.tobytes()),
+    )
     nq = len(qids)
     qids_arr = np.asarray(qids)
     # corpus rows per scoring chunk so the (chunk × nq) score matrix stays
@@ -173,6 +197,8 @@ def cosine_topk_arrow(
                 continue
             C_all = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             ids_all = pdf[id_col].to_numpy()
+            if P is not None:
+                C_all = C_all @ P.T
             cn = np.linalg.norm(C_all, axis=1, keepdims=True)
             cn[cn == 0.0] = 1.0
             C_all = C_all / cn
@@ -585,7 +611,9 @@ def _memo_train(df: DataFrame, tag: str, params: tuple, build):
     return hit
 
 
-def _memo_query_matrix(queries: DataFrame, id_col: str, vec_col: str, collect):
+def _memo_query_matrix(
+    queries: DataFrame, id_col: str, vec_col: str, collect, extra: tuple = ()
+):
     """Memoized driver collect of a request batch (ids, normalized matrix)
     for the exact GEMM scorer.
 
@@ -624,7 +652,7 @@ def _memo_query_matrix(queries: DataFrame, id_col: str, vec_col: str, collect):
     return _memo_train(
         queries,
         "topk_query_matrix",
-        (id_col, vec_col, plan_md5, tuple(files)),
+        (id_col, vec_col, plan_md5, tuple(files), extra),
         collect,
     )
 
@@ -900,7 +928,20 @@ def pca_project(
     out_col: str = "pvec",
 ) -> DataFrame:
     """Project ``vec_col`` onto the PCA components — pure JVM fold
-    (zip_with + aggregate per output dimension), no Python per row."""
+    (zip_with + aggregate per output dimension), no Python per row.
+
+    This is the exact-order reference projection (bit-deterministic
+    left-to-right accumulation). It is deliberately NOT on q91's hot
+    path anymore (round 10): the fold runs interpreted (~1 lambda frame
+    per array element — 61M evals over the 10x corpus dominated q91's
+    exec) and its per-dim Column construction cost ~3.4s of eager
+    analysis per build. An unrolled ``_lit_dot_sql`` chain was tried and
+    REJECTED: at 24x64 terms the generated ``processNext()`` overflows
+    Janino's method limit, the whole stage silently falls back to
+    INTERPRETED expression trees, and exec got 10x worse (0.32s ->
+    3.7s warm at sf0.1) — don't re-run that experiment. The production
+    candidate path projects inside the Arrow GEMM scorer instead
+    (``cosine_topk_arrow(lin_map=...)``)."""
     dims = [
         F.aggregate(
             F.zip_with(
@@ -936,18 +977,26 @@ def pca_ann_topk(
     with LSH/IVF cell restriction to also cut the candidate count. The
     rescore join touches O(queries × n_candidates) rows only.
     """
-    pc = pca_project(corpus, components, vec_col)
-    pq = pca_project(queries, components, vec_col)
-    # candidate search on the GEMM path: compressed-space scoring is the
-    # hot loop (|queries| × |corpus| pairs) and needs no cross-engine bit
-    # parity — only the candidate SET feeds the exact rescore below
+    # candidate search on the GEMM path with the projection applied
+    # INSIDE the scorer (round 10, guide §4.2: hand whole batches to
+    # native code): compressed-space scoring is the hot loop
+    # (|queries| × |corpus| pairs) and needs no cross-engine bit parity —
+    # only the candidate SET feeds the exact rescore below. The previous
+    # form materialized a JVM pca_project column first: interpreted
+    # zip_with/aggregate folds (~61M lambda evals over the 10x corpus,
+    # ~30s of exec) plus ~3.4s of eager per-dim Column analysis at EVERY
+    # plan build (q91 was the single largest x1 entry in SCALE_SWEEP at
+    # 8.1s). One batch GEMM replaces both; output verified identical on
+    # all three SFs and the 10x replica (candidate ties live behind the
+    # 6-dp round, same tolerance the scorer already documents).
     cands = cosine_topk_arrow(
-        pc.select(id_col, F.col("pvec").alias(vec_col)),
-        pq.select(id_col, F.col("pvec").alias(vec_col)),
+        corpus.select(id_col, vec_col),
+        queries.select(id_col, vec_col),
         id_col=id_col,
         vec_col=vec_col,
         k=n_candidates,
         round_dp=round_dp,
+        lin_map=components,
     ).select("query_id", "neighbor_id")
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
