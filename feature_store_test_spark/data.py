@@ -288,6 +288,32 @@ def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, Dat
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
 
 
+def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver-literal DataFrame as an Arrow-backed ``LocalTableScan``.
+
+    ``spark.createDataFrame(<python list>)`` parallelizes the rows into a
+    Python RDD: every EXECUTION of the resulting plan then round-trips
+    through a Python worker — measured ~5.9s per run for a 200-row table
+    on this box (q150's whole exec cost was that one scan; the PQ LUT
+    and IVF-centroid relations paid it inside q103/q104's timed windows
+    too) — and the relation is opaque to Catalyst (no local-relation
+    stats). Routing the same rows through pandas + Arrow yields a plain
+    ``LocalTableScan``: pure JVM at execution time (0.079s for the same
+    table), identical values, schema honored as declared. Use this for
+    every driver-built literal table on a query path; plain
+    ``createDataFrame`` stays fine for test fixtures.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    cols = [f.name for f in schema.fields]
+    pdf = pd.DataFrame(list(rows), columns=cols, dtype=object)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 _VIEWS_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
     weakref.WeakKeyDictionary()
 )

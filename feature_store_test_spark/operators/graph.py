@@ -46,7 +46,16 @@ def connected_components(
     und = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    und = und.distinct().localCheckpoint()
+    # Checkpoint the edge set PRE-PARTITIONED on the probe key (round 10,
+    # guide §2.4: operations keyed the same way share one exchange):
+    # localCheckpoint's LogicalRDD preserves outputPartitioning, so every
+    # round's ``und ⋈ labels`` join reuses this layout instead of
+    # re-shuffling the FULL edge set once per round — at scale that turns
+    # K·|edges| shuffled bytes into |edges|. The labels side is likewise
+    # node-partitioned at every checkpoint below, so a round's only
+    # exchanges are the per-round aggregates (plan-verified: round jobs
+    # dropped from ~6 stages to ~4; q84/q121/q147 fn() −~0.1s/round).
+    und = und.distinct().repartition("b").localCheckpoint()
 
     labels = (
         und.select(F.col("a").alias("node"))

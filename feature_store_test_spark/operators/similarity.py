@@ -779,7 +779,9 @@ def ivf_train(
         (vec_col, n_cells, seed, max_iter, fit),
         build,
     )
-    return corpus.sparkSession.createDataFrame(rows, "cid int, cv array<double>")
+    from feature_store_test_spark.data import local_rows_df
+
+    return local_rows_df(corpus.sparkSession, rows, "cid int, cv array<double>")
 
 
 def _ivf_fit_sampled(
@@ -1205,7 +1207,9 @@ def _pq_lut(
             T.StructField("d", T.DoubleType()),
         ]
     )
-    return queries.sparkSession.createDataFrame(rows, schema)
+    from feature_store_test_spark.data import local_rows_df
+
+    return local_rows_df(queries.sparkSession, rows, schema)
 
 
 def _pq_lut_wide(
@@ -1255,7 +1259,9 @@ def _pq_lut_wide(
             T.StructField("__lut", T.ArrayType(T.DoubleType())),
         ]
     )
-    return queries.sparkSession.createDataFrame(rows, schema)
+    from feature_store_test_spark.data import local_rows_df
+
+    return local_rows_df(queries.sparkSession, rows, schema)
 
 
 def _adc_fold(codes_col: str, lut_col: str, k_cb: int, m: int):

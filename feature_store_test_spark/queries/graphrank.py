@@ -112,14 +112,21 @@ def q136_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nodes = nation.select(F.col("n_nationkey").alias("nation"))
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    r = nodes.crossJoin(F.broadcast(nn)).select(
-        "nation", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
-    # every frame in the iteration is vocabulary-bounded (≤|V| ranks,
-    # ≤|E| transitions) — broadcast everything so each round is map-side
-    # plus one tiny aggregation, regardless of how big the FACT data
-    # that produced the graph was
+    # |nodes| as a driver scalar (bounded by construction: the nation
+    # dimension — same policy as the other bounded single-row collects):
+    # the previous crossJoin(broadcast(nn)) PER ITERATION put a broadcast
+    # build inside every round's dependency chain.
+    n = float(nodes.count())
+    r = nodes.select("nation", (F.lit(1.0) / F.lit(n)).alias("rank"))
+    # Iteration frames are vocabulary-bounded (≤|V| ranks, ≤|E|
+    # transitions). ONE broadcast — the transition table p, reused by all
+    # rounds (ReusedExchange) — keeps the rank⋈p join map-side; the tiny
+    # per-round rank updates join SHUFFLE_HASH inside the main job
+    # instead of each materializing its own broadcast-build job (round
+    # 10: 9 jobs -> 3, interleaved min 2.284 -> 1.516, result parity
+    # exact — every nested inbound broadcast was a scheduler job whose
+    # chain serialized the rounds). Bounded tables shuffle pennies at
+    # any corpus size, so the shape is scale-safe.
     for _ in range(_N_ITER):
         inbound = (
             r.join(F.broadcast(p), F.col("src") == F.col("nation"))
@@ -127,12 +134,15 @@ def q136_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("rank") * F.col("p")).alias("s"))
         )
         r = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(F.broadcast(inbound), F.col("in_nation") == F.col("nation"), "left")
+            nodes.join(
+                inbound.hint("shuffle_hash"),
+                F.col("in_nation") == F.col("nation"),
+                "left",
+            )
             .select(
                 "nation",
                 (
-                    F.lit(0.15) / F.col("n")
+                    F.lit(0.15) / F.lit(n)
                     + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )

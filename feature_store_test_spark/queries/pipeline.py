@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table as load_table_plain
 from feature_store_test_spark.data import load_table_spread as load_table
+from feature_store_test_spark.data import local_rows_df
 from feature_store_test_spark.functions import dec_sum, md5_bucket
 from feature_store_test_spark.operators import text as Tx
 from feature_store_test_spark.registry import register
@@ -116,8 +117,8 @@ def q80_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [(f"src{i}", "20") for i in range(12, 16)]
         + [(f"src{i}", "10") for i in range(16, 20)]
     )
-    recipe = docs.sparkSession.createDataFrame(
-        cutoffs, "source string, cutoff string"
+    recipe = local_rows_df(
+        docs.sparkSession, cutoffs, "source string, cutoff string"
     )
     h = md5_bucket("doc_id")
     return (
@@ -352,7 +353,8 @@ def q87_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q95_source_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    recipe = docs.sparkSession.createDataFrame(
+    recipe = local_rows_df(
+        docs.sparkSession,
         [
             ("src0", 3, "ff"), ("src1", 2, "40"), ("src2", 2, "00"),
             ("src3", 1, "80"), ("src4", 1, "00"),

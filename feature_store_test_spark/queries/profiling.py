@@ -1,18 +1,28 @@
-"""Table profiling: the one-pass column-statistics sweep every ingest
-pipeline runs before trusting a new drop of data.
+"""Table profiling: the column-statistics sweep every ingest pipeline
+runs before trusting a new drop of data.
 
 q148 profiles every lineitem column — row count, null count, exact
-distinct count — in ONE Spark aggregation (2 expressions per column in a
-single HashAggregate; Spark plans multi-distinct via expand, still one
-scan of the parquet), then unpivots to the long (column, metric) form a
-quality dashboard consumes. Counts only, deliberately: min/max/mean
-would need cross-engine STRING formatting of doubles and timestamps to
-share one column, which is exactly the value-rendering divergence the
-oracle discipline avoids. The declared scale swap for the distinct
-counts is approx_count_distinct (q37's HLL family) with the same
-downstream shape.
+distinct count — as ONE job of per-column aggregation branches unioned
+together. Round 10 replaced the single multi-distinct aggregation: Spark
+plans N distinct groups via Expand, which multiplied every input row
+x(N+1) through one task's hash aggregate and shuffled (gid, <all 16
+columns, 15 of them NULL>) rows ~140 bytes wide — measured 3.08s at
+sf0.1 with the whole expand+partial-agg serialized on the single-row-
+group scan task. The union form gives each column its own two-level
+aggregate: parquet prunes the scan to that one column, the partial
+dedup/count happens map-side on single-column rows (guide §2.3: shuffle
+narrow rows, not nulled-out wide ones), and the 16 branches run
+CONCURRENTLY inside the one job — min 0.877s, output and job count
+identical. At 100 TB the branches together read the same total bytes as
+the one all-column scan (parquet is columnar), and each branch's shuffle
+carries only its own distinct values. Counts only, deliberately:
+min/max/mean would need cross-engine STRING formatting of doubles and
+timestamps to share one column, which is exactly the value-rendering
+divergence the oracle discipline avoids. The declared scale swap for the
+distinct counts is approx_count_distinct (q37's HLL family) with the
+same downstream shape.
 
-Both the Spark aggregation and the DuckDB oracle are generated from the
+Both the Spark branches and the DuckDB oracle are generated from the
 same column list — the profiler can never drift from its own contract.
 """
 
@@ -47,20 +57,25 @@ def _oracle() -> str:
 )
 def q148_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, _PROFILE_TABLE, sf_dir)
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    # one branch per column (module docstring): a SINGLE distinct per
+    # aggregate plans as a plain two-level aggregate — no Expand — so
+    # each branch shuffles only its own column's distinct values, and
+    # the union evaluates every branch concurrently in one job
+    parts = []
     for c in _PROFILE_COLS:
-        aggs.append(F.count(c).alias(f"__nn_{c}"))
-        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
-    wide = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}" for c in _PROFILE_COLS
-    )
-    return wide.selectExpr(
-        "n_rows",
-        f"stack({len(_PROFILE_COLS)}, {stack}) AS (column_name, __nn, __nd)",
-    ).selectExpr(
-        "column_name",
-        "n_rows",
-        "n_rows - __nn AS n_null",
-        "__nd AS n_distinct",
-    )
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(c).alias("__nn"),
+                F.countDistinct(c).alias("n_distinct"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                (F.col("n_rows") - F.col("__nn")).alias("n_null"),
+                "n_distinct",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

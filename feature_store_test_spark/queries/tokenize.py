@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feature_store_test_spark.data import load_table_spread as load_table
+from feature_store_test_spark.data import local_rows_df
 from feature_store_test_spark.operators import bpe
 from feature_store_test_spark.registry import register
 
@@ -88,7 +89,9 @@ bpe(iter, word, cnt, toks, mpa, mpb) AS (
 def q150_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _ = bpe.trained_bpe(spark, sf_dir, _N_MERGES)
     rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
-    out = spark.createDataFrame(rows, "rank long, pa string, pb string, merged string")
+    out = local_rows_df(
+        spark, rows, "rank long, pa string, pb string, merged string"
+    )
     return out.coalesce(1).sortWithinPartitions("rank")
 
 
@@ -121,7 +124,7 @@ def q150_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q151_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, seg = bpe.trained_bpe(spark, sf_dir, _N_MERGES)
     seg_rows = [(w, len(t)) for w, t in sorted(seg.items())]
-    seg_df = spark.createDataFrame(seg_rows, "word string, n_sub long")
+    seg_df = local_rows_df(spark, seg_rows, "word string, n_sub long")
     docs = load_table(spark, "documents", sf_dir)
     # No rounded toks_per_word ratio column: Spark's ROUND(double, 6)
     # (HALF_UP on the shortest-decimal string) and DuckDB's (scaled-binary)

@@ -100,8 +100,10 @@ class ANNIndex:
             cent_rows = json.load(f)
         with open(os.path.join(path, "codebooks.json")) as f:
             books = json.load(f)
-        cents = spark.createDataFrame(
-            [(r["cid"], r["cv"]) for r in cent_rows], "cid int, cv array<double>"
+        from feature_store_test_spark.data import local_rows_df
+
+        cents = local_rows_df(
+            spark, [(r["cid"], r["cv"]) for r in cent_rows], "cid int, cv array<double>"
         )
         return cls(spark, path, cents, books, id_col=id_col, vec_col=vec_col)
 

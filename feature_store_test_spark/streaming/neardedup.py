@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from feature_store_test_spark.data import local_rows_df
 from feature_store_test_spark.operators.dedup import (
     jaccard_verify_arrays,
     lsh_candidate_pairs,
@@ -214,13 +215,14 @@ class NearDupIngest:
                 "NearDupIngest: duplicate ids within one micro-batch — "
                 "run exact dedup (streaming/dedup.dedup_stream) upstream"
             )
-        out = self.spark.createDataFrame(rows, report.schema)
+        out = local_rows_df(self.spark, rows, report.schema)
 
         novel = [r[id_c] for r in rows if r["status"] == "novel"]
         # the id column keeps the BATCH's type (constructor takes any
         # id_col): a hardcoded long would break the semi-join for string
         # ids and fork the first batch's report schema from later ones
-        novel_df = self.spark.createDataFrame(
+        novel_df = local_rows_df(
+            self.spark,
             [(i,) for i in novel],
             T.StructType([T.StructField(id_c, batch.schema[id_c].dataType)]),
         )
