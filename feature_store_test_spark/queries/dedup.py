@@ -245,28 +245,27 @@ def _simhash_fp_pairs(fpg: DataFrame) -> DataFrame:
     C(n_fp, 2) at ANY corpus size: the 16-bit fingerprint domain caps
     n_fp at 65536 regardless of row count."""
     # pigeonhole bands over DISTINCT fingerprints: hamming<=2 with 4 bands
-    # of 4 bits ⇒ at least one band equal
-    banded = fpg.select(
+    # of 4 bits ⇒ at least one band equal. Single-parse selectExpr forms
+    # (round 10, the r6 fusion playbook): the previous per-bit Column
+    # chain (16 when/otherwise + 4 struct literals, each an eagerly
+    # analyzed API call) was ~0.3-0.6s of pure construction per build —
+    # q39b showed fn() ≈ exec in the round-10 profile split.
+    banded = fpg.selectExpr(
         "f",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.substring("f", 1 + 4 * b, 4).alias("val"))
-                for b in range(4)
-            ])
-        ).alias("e"),
-    ).select("f", F.col("e.band").alias("band"), F.col("e.val").alias("val"))
+        "explode(transform(sequence(0, 3), b -> "
+        "struct(CAST(b AS INT) AS band, substring(f, 1 + 4*b, 4) AS val))) AS e",
+    ).selectExpr("f", "e.band AS band", "e.val AS val")
     a, b = banded.alias("a"), banded.alias("b")
-    hamming = sum(
-        F.when(F.substring("fa", j, 1) != F.substring("fb", j, 1), 1).otherwise(0)
+    hamming = " + ".join(
+        f"IF(substring(fa, {j}, 1) <> substring(fb, {j}, 1), 1, 0)"
         for j in range(1, 17)
-    ).cast("int")
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.val") == F.col("b.val"))
-               & (F.col("a.f") < F.col("b.f")))
-        .select(F.col("a.f").alias("fa"), F.col("b.f").alias("fb"))
+        a.join(b, F.expr("a.band = b.band AND a.val = b.val AND a.f < b.f"))
+        .selectExpr("a.f AS fa", "b.f AS fb")
         .distinct()
-        .withColumn("hamming", hamming)
-        .where(F.col("hamming") <= _HAMMING_T)
+        .selectExpr("fa", "fb", f"CAST({hamming} AS INT) AS hamming")
+        .where(f"hamming <= {_HAMMING_T}")
     )
 
 
@@ -418,29 +417,28 @@ def q39b_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_oracle_dtypes.py)."""
     fpg = _simhash_fp_groups(spark, sf_dir)
     fp_pairs = _simhash_fp_pairs(fpg)
-    ga = fpg.select(F.col("f").alias("fa"), F.col("ids").alias("ids_a"))
-    gb = fpg.select(F.col("f").alias("fb"), F.col("ids").alias("ids_b"))
+    ga = fpg.selectExpr("f AS fa", "ids AS ids_a")
+    gb = fpg.selectExpr("f AS fb", "ids AS ids_b")
     cross = (
         fp_pairs.join(ga, "fa")
         .join(gb, "fb")
-        .select(
-            F.col("fa").alias("fp_a"),
-            F.col("fb").alias("fp_b"),
+        .selectExpr(
+            "fa AS fp_a",
+            "fb AS fp_b",
             "hamming",
-            F.array_join(F.col("ids_a").cast("array<string>"), ",").alias("ids_a"),
-            F.array_join(F.col("ids_b").cast("array<string>"), ",").alias("ids_b"),
-            (F.size("ids_a").cast("bigint") * F.size("ids_b")).alias("n_pairs"),
+            "array_join(CAST(ids_a AS array<string>), ',') AS ids_a",
+            "array_join(CAST(ids_b AS array<string>), ',') AS ids_b",
+            "CAST(size(ids_a) AS BIGINT) * size(ids_b) AS n_pairs",
         )
     )
-    n = F.size("ids").cast("bigint")
-    ids_s = F.array_join(F.col("ids").cast("array<string>"), ",")
-    within = fpg.where(F.size("ids") >= 2).select(
-        F.col("f").alias("fp_a"),
-        F.col("f").alias("fp_b"),
-        F.lit(0).cast("int").alias("hamming"),
-        ids_s.alias("ids_a"),
-        ids_s.alias("ids_b"),
-        (n * (n - 1) / F.lit(2)).cast("bigint").alias("n_pairs"),
+    within = fpg.where(F.size("ids") >= 2).selectExpr(
+        "f AS fp_a",
+        "f AS fp_b",
+        "CAST(0 AS INT) AS hamming",
+        "array_join(CAST(ids AS array<string>), ',') AS ids_a",
+        "array_join(CAST(ids AS array<string>), ',') AS ids_b",
+        "CAST(CAST(size(ids) AS BIGINT) * (CAST(size(ids) AS BIGINT) - 1)"
+        " / 2 AS BIGINT) AS n_pairs",
     )
     return cross.unionByName(within)
 
