@@ -1144,31 +1144,36 @@ def pq_encode(
     # nullif: zero-vector ANSI guard (see cosine()); a zero vector gets a
     # NULL unit array, NULL distances, and the deterministic first-index
     # argmin code — present in the index, never a crash.
-    unit = F.transform(
-        F.col(vec_col),
-        lambda x: x.cast("double") / F.nullif(l2_norm(F.col(vec_col)), F.lit(0.0)),
+    # Single-parse selectExpr strings (round 10, the r6 fusion playbook):
+    # the identical expression tree built through per-book Column calls
+    # cost ~1.4s of eager analysis per plan build (8 books x nested
+    # transform/zip_with trees) vs one SQL parse; execution unchanged
+    # (same transform/aggregate lambdas, codes verified identical).
+    norm = (
+        f"sqrt(aggregate(`{vec_col}`, 0D, "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     )
-    out = df.withColumn("__unit", unit)
+    out = df.selectExpr(
+        "*",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE) / nullif({norm}, 0D))"
+        " AS __unit",
+    )
     code_exprs = []
     for j, book in enumerate(codebooks):
-        sub = F.slice(F.col("__unit"), j * d + 1, d)
-        lit_book = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        lit_book = ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")" for c in book
         )
-        def _dist_to(s):
-            # factory so transform sees a UNARY lambda (a 2-arg lambda
-            # would be read as (element, index))
-            return lambda cent: F.aggregate(
-                F.zip_with(s, cent, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-
-        dists = F.transform(lit_book, _dist_to(sub))
+        dists = (
+            f"transform(array({lit_book}), cent -> "
+            f"aggregate(zip_with(slice(__unit, {j * d + 1}, {d}), cent, "
+            "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"
+        )
         code_exprs.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
         )
-    return out.withColumn(out_col, F.array(*code_exprs)).drop("__unit")
+    return out.selectExpr(
+        "*", f"array({', '.join(code_exprs)}) AS {out_col}"
+    ).drop("__unit")
 
 
 def _pq_lut(
