@@ -78,7 +78,18 @@ HEADLINE = [
 # — module-level so plans.py captures plans under the EXACT profile the
 # headline numbers measure (r8 verdict: PLANS.md showed q42's SMJ while
 # the bench's SHJ preference was precisely what changed that plan).
-BASE_PROFILE = (4, 32 * 1024 * 1024, False, 2 * 1024 * 1024, False)
+# Round 11 (r10 verdict item 2): the base profile's shuffle-partition
+# count derives from the GRANTED cores ($SPARK_GRAFT_CPUS via
+# session.default_parallelism) instead of a flat 4, so a low-core driver
+# probe actually runs narrower plans — min(cpus, 4) keeps every c>=4
+# number identical to the r5-r10 measured optimum (4 partitions at
+# sf0.1: post-shuffle stages hold ~KBs per partition, fatter tasks shed
+# pure per-task floor). The cores-SENSITIVITY signal lives at the 10x
+# point (scale10x.queries below), where parallelism exists; at sf0.1 the
+# single-row-group fixtures cap scans at one task regardless of cores.
+from feature_store_test_spark.session import default_parallelism as _dp  # noqa: E402
+
+BASE_PROFILE = (min(_dp(), 4), 32 * 1024 * 1024, False, 2 * 1024 * 1024, False)
 SCALE_PROFILE = (32, 4 * 1024 * 1024, True, 512 * 1024, True)
 
 # Exact-version allowlist for the clone() pure-execution body (r8 ADVICE:
@@ -466,6 +477,13 @@ def main() -> None:
                 round(_median_ratio, 2) if _median_ratio is not None else None
             ),
             "spark_growth_vs_1x": round(s_tot / sum(timings.values()), 2),
+            # per-query x10 seconds (r10 verdict item 2): the 10x replica
+            # under SCALE_PROFILE is where granted cores become real
+            # parallelism (multi-file scans, 32 partitions, AQE), so the
+            # driver's low-core rerun can read cores-sensitivity per
+            # query HERE — the sf0.1 block above is scheduling-floor
+            # bound by the single-row-group fixtures and can only read ~1.
+            "queries": scale_spark,
         }
         scale_detail = {"spark": scale_spark, "duckdb": scale_duck}
 

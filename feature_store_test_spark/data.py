@@ -309,9 +309,29 @@ def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
 
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)
+    # The LocalTableScan depends on the Arrow conversion path, which is a
+    # RUNTIME conf a vanilla (driver-built) session does not set — without
+    # it every one of these literal tables silently took the Python-RDD
+    # path in the driver's own verify sessions (found by the guard below,
+    # round 11). Set it at the single choke point.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     cols = [f.name for f in schema.fields]
-    pdf = pd.DataFrame(list(rows), columns=cols, dtype=object)
-    return spark.createDataFrame(pdf, schema=schema)
+    # rows normalized to plain tuples (ADVICE r10): Row objects (e.g. a
+    # report.collect()) expand POSITIONALLY here — tuple() pins that
+    # explicitly and keeps pandas from treating a Row as a scalar cell.
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=cols, dtype=object)
+    df = spark.createDataFrame(pdf, schema=schema)
+    # The LocalTableScan win depends on the Arrow conversion path; the
+    # default fallback silently reinstates the Python-RDD regression with
+    # only a warning (ADVICE r10). A LogicalRDD here is that regression —
+    # fail loudly. Checked on the ANALYZED plan (no optimizer run).
+    if "LogicalRDD" in df._jdf.queryExecution().analyzed().nodeName():
+        raise RuntimeError(
+            "local_rows_df: Arrow conversion fell back to a Python RDD scan"
+            " — the driver-literal table would re-pay a Python worker"
+            " round-trip per execution; fix the schema/values instead"
+        )
+    return df
 
 
 _VIEWS_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (

@@ -106,9 +106,15 @@ def classify_trigrams(
     # top-K contains it) plus one doc×lang dense frame of bounded width —
     # the |langs| multiplier is gone from the shuffled row count (exact
     # same predictions, A/B'd row-identical; sf0.1 min 1.72 -> 1.51).
+    # gains groups (and joins back) on [id_col, cand_lang] ONLY: carry
+    # columns are constant per id and ride the dense side — using them as
+    # extra equi-join keys made them null-UNSAFE (ADVICE r10: a doc with a
+    # NULL carry value would miss all its gains rows and collapse to the
+    # alphabetically-first language). Dropping them from the gains shuffle
+    # also narrows its rows (guide §2.3).
     gains = (
         dp.join(F.broadcast(profiles), "tri")
-        .groupBy(id_col, *carry, "cand_lang")
+        .groupBy(id_col, "cand_lang")
         .agg(F.sum(F.lit(k) - F.abs(F.col("rd") - F.col("rl"))).alias("g"))
     )
     dense = (
@@ -117,7 +123,7 @@ def classify_trigrams(
         .crossJoin(F.broadcast(langs))
     )
     dist = (
-        dense.join(gains.hint("shuffle_hash"), [id_col, *carry, "cand_lang"], "left")
+        dense.join(gains.hint("shuffle_hash"), [id_col, "cand_lang"], "left")
         .select(
             id_col,
             *carry,

@@ -1140,7 +1140,16 @@ def pq_encode(
     per row. argmin = position of the array minimum; ties pick the first
     index — deterministic.
     """
+    import math
+
     d = len(codebooks[0][0])
+    # generated-SQL hygiene (ADVICE r10): out_col is backtick-quoted like
+    # vec_col, and non-finite codebook values are rejected up front — a
+    # repr'd nan/inf literal would fail the SQL parse far from its source
+    if any(
+        not math.isfinite(x) for book in codebooks for c in book for x in c
+    ):
+        raise ValueError("pq_encode: codebooks contain non-finite values")
     # nullif: zero-vector ANSI guard (see cosine()); a zero vector gets a
     # NULL unit array, NULL distances, and the deterministic first-index
     # argmin code — present in the index, never a crash.
@@ -1172,7 +1181,7 @@ def pq_encode(
             f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
         )
     return out.selectExpr(
-        "*", f"array({', '.join(code_exprs)}) AS {out_col}"
+        "*", f"array({', '.join(code_exprs)}) AS `{out_col}`"
     ).drop("__unit")
 
 

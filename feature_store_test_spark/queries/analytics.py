@@ -821,34 +821,70 @@ def q137_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "skyline", "join"),
 )
 def q140_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Range-partitioned two-phase skyline (round 11, r10 verdict item 3):
+    # the declared window key (o_orderpriority, 5 values) capped the whole
+    # skyline at 5-way parallelism — 4.6x wall growth for 10x data. Phase
+    # 1 splits each priority into fixed-width PRICE-TICK buckets
+    # (__b = __ticks div 2e6; the tick DOMAIN is bounded by order size,
+    # not corpus size, so ~30 buckets x 5 priorities at any SF) and runs
+    # the same two RANGE frames per (priority, bucket). Phase 2 reduces
+    # each bucket to its max qty (an agg on the partitioning phase 1
+    # already established), takes the strictly-earlier-bucket running max
+    # pmax over the TINY (priority, bucket) frame, and broadcast-joins it
+    # back. Every earlier-bucket row has strictly smaller __ticks by
+    # construction (floor is monotone, buckets are tick-disjoint), so
+    #   strict-max  = max(local strict frame, pmax)
+    #   incl-max    = max(local incl frame, pmax)
+    # and dominated ⇔ local_strict >= qty | local_incl > qty | pmax >= qty
+    # (pmax >= qty subsumes the pmax > qty leg of the incl test). The
+    # base frame is managed_cache'd: both phases read it, and without the
+    # cache the lineitem agg + orders join would execute twice.
+    from feature_store_test_spark.registry import managed_cache
+
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     qty = li.groupBy("l_orderkey").agg(
         F.sum(F.col("l_quantity").cast("long")).alias("total_qty")
     )
-    q = orders.join(qty, orders["o_orderkey"] == qty["l_orderkey"]).select(
-        "o_orderkey",
-        "o_orderpriority",
-        "o_totalprice",
-        "total_qty",
-        dec_ticks(F.col("o_totalprice"), 2).alias("__ticks"),
+    q = managed_cache(
+        orders.join(qty, orders["o_orderkey"] == qty["l_orderkey"]).select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            "total_qty",
+            dec_ticks(F.col("o_totalprice"), 2).alias("__ticks"),
+        ).withColumn("__b", F.expr("__ticks div 2000000"))
     )
     w_strict = (
-        Window.partitionBy("o_orderpriority")
+        Window.partitionBy("o_orderpriority", "__b")
         .orderBy("__ticks")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     w_incl = (
-        Window.partitionBy("o_orderpriority")
+        Window.partitionBy("o_orderpriority", "__b")
         .orderBy("__ticks")
         .rangeBetween(Window.unboundedPreceding, 0)
     )
     qty_c = F.col("total_qty")
+    buckets = q.groupBy("o_orderpriority", "__b").agg(F.max(qty_c).alias("__bmax"))
+    w_prev = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = buckets.select(
+        "o_orderpriority",
+        "__b",
+        F.max("__bmax").over(w_prev).alias("__pmax"),
+    )
     dominated = (
-        F.coalesce(F.max(qty_c).over(w_strict), F.lit(-1)) >= qty_c
-    ) | (F.max(qty_c).over(w_incl) > qty_c)
+        (F.coalesce(F.max(qty_c).over(w_strict), F.lit(-1)) >= qty_c)
+        | (F.max(qty_c).over(w_incl) > qty_c)
+        | (F.coalesce(F.col("__pmax"), F.lit(-1)) >= qty_c)
+    )
     return (
-        q.withColumn("__dom", dominated)
+        q.join(F.broadcast(prev), ["o_orderpriority", "__b"])
+        .withColumn("__dom", dominated)
         .where(~F.col("__dom"))
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "total_qty")
     )
