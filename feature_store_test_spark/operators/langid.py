@@ -40,10 +40,27 @@ def trigram_rows(df: DataFrame, *carry_cols: str) -> DataFrame:
     )
 
 
+def doc_trigram_counts(
+    docs: DataFrame, id_col: str = "doc_id", *carry_cols: str
+) -> DataFrame:
+    """One (id, *carry, tri, cnt) frame — the single trigram explode +
+    count both halves of the pipeline can share (round 11): training
+    needs per-(lang, tri) totals, classification needs per-(doc, tri)
+    counts, and both are aggregations OF this frame. Callers that
+    materialize it (managed_cache) pay the corpus explode ONCE instead
+    of once per consumer; see q157 for the cost gate (the cache is a win
+    only below a corpus-size crossover)."""
+    tri = trigram_rows(docs, id_col, *carry_cols)
+    return tri.groupBy(id_col, *carry_cols, "tri").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def train_trigram_profiles(
     docs: DataFrame,
     lang_col: str = "lang",
     k: int = LANGID_K,
+    doc_tri_counts: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(profiles, langs) from a labeled corpus.
 
@@ -53,15 +70,24 @@ def train_trigram_profiles(
     unlabeled class is nothing to predict into; also load-bearing for
     cross-engine tie-break parity — Spark orders NULLS FIRST ascending,
     DuckDB NULLS LAST, so a NULL candidate in an exact distance tie
-    would flip predictions between engines; code-review r9)."""
-    tri = trigram_rows(docs, lang_col)
+    would flip predictions between engines; code-review r9).
+
+    ``doc_tri_counts``: optional shared (id, lang, tri, cnt) frame from
+    ``doc_trigram_counts`` — per-(lang, tri) totals are the SUM of the
+    per-doc counts (exact same integers), skipping a second corpus
+    explode when the caller shares one."""
     wl = Window.partitionBy("cand_lang").orderBy(F.col("cnt").desc(), "tri")
-    profiles = (
-        tri.groupBy(F.col(lang_col).alias("cand_lang"), "tri")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("cand_lang", "tri", F.row_number().over(wl).alias("rl"))
-        .where(F.col("rl") <= k)
-    )
+    if doc_tri_counts is None:
+        counts = trigram_rows(docs, lang_col).groupBy(
+            F.col(lang_col).alias("cand_lang"), "tri"
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    else:
+        counts = doc_tri_counts.groupBy(
+            F.col(lang_col).alias("cand_lang"), "tri"
+        ).agg(F.sum("cnt").alias("cnt"))
+    profiles = counts.select(
+        "cand_lang", "tri", F.row_number().over(wl).alias("rl")
+    ).where(F.col("rl") <= k)
     langs = (
         docs.where(F.col(lang_col).isNotNull())
         .select(F.col(lang_col).alias("cand_lang"))
@@ -77,6 +103,7 @@ def classify_trigrams(
     id_col: str = "doc_id",
     k: int = LANGID_K,
     carry_cols: list[str] | None = None,
+    doc_tri_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Predict each doc's language by minimum rank distance.
 
@@ -86,16 +113,20 @@ def classify_trigrams(
     Cavnar-Trenkle convention); ties break on cand_lang. ``profiles``
     and ``langs`` are broadcast — they are K x |langs| and |langs| rows.
     Docs with no trigrams (< 3 chars) are absent from the output, the
-    same contract as the batch query."""
+    same contract as the batch query. ``doc_tri_counts``: optional shared
+    (id, *carry, tri, cnt) frame (see ``doc_trigram_counts``)."""
     carry = list(carry_cols or [])
-    tri = trigram_rows(docs, id_col, *carry)
     wd = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), "tri")
-    dp = (
-        tri.groupBy(id_col, *carry, "tri")
+    counts = (
+        trigram_rows(docs, id_col, *carry)
+        .groupBy(id_col, *carry, "tri")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(id_col, *carry, "tri", F.row_number().over(wd).alias("rd"))
-        .where(F.col("rd") <= k)
+        if doc_tri_counts is None
+        else doc_tri_counts
     )
+    dp = counts.select(
+        id_col, *carry, "tri", F.row_number().over(wd).alias("rd")
+    ).where(F.col("rd") <= k)
     # Match-only distance algebra (round 10, guide §2.3 — shuffle fewer
     # rows): d(doc, lang) = Σ_tri [matched ? |rd−rl| : k]
     #                     = n_tris·k − Σ_matched (k − |rd−rl|),

@@ -437,10 +437,13 @@ def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # combined build as a PARITY-coded keyspace (k*3+tag — no literal to
     # push, one BroadcastExchange + 2 ReusedExchange, 4 jobs -> 2) and it
     # was still SLOWER (min 0.749 -> 0.929: 600k probes against one 37k-
-    # entry hash table cost more than three cache-resident small tables);
-    # ck-branch SHUFFLE_HASH (4 jobs -> 3) likewise a wash (min 0.460 ->
-    # 0.490, med 0.521 -> 0.528) and the customer dim broadcast is the
-    # right 100 TB plan anyway.
+    # entry hash table cost more than three cache-resident small tables).
+    # Round 11 re-A/B'd the ck branch per the r10 verdict (item 6):
+    # SHUFFLE_HASH(c) is a time WASH both windows (min +0.02, med −0.03,
+    # n=10/n=14 interleaved) and sheds the broadcast-build scheduler job
+    # (4 -> 3) — adopted for the fixed-cost win; note orders⋈customer is
+    # FK⋈dim, so at 100 TB AQE's runtime conversion would re-broadcast
+    # the dim side where it pays.
     from feature_store_test_spark.data import register_temp_views
 
     register_temp_views(spark, sf_dir)
@@ -465,7 +468,7 @@ def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM per_order LEFT JOIN orders o ON l_orderkey = o.o_orderkey
         ),
         ckagg AS (
-          SELECT /*+ BROADCAST(c) */
+          SELECT /*+ SHUFFLE_HASH(c) */
                  COUNT_IF(c.c_custkey IS NULL) AS n_ck
           FROM orders LEFT JOIN customer c ON o_custkey = c_custkey
         )
@@ -821,32 +824,32 @@ def q137_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "skyline", "join"),
 )
 def q140_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Range-partitioned two-phase skyline (round 11, r10 verdict item 3):
-    # the declared window key (o_orderpriority, 5 values) capped the whole
-    # skyline at 5-way parallelism — 4.6x wall growth for 10x data. Phase
-    # 1 splits each priority into fixed-width PRICE-TICK buckets
+    # Two-phase skyline CASCADE (round 11, r10 verdict item 3): the
+    # declared window key (o_orderpriority, 5 values) capped the whole
+    # skyline at 5-way parallelism — 4.6x wall growth for 10x data.
+    # Phase 1 splits each priority into fixed-width PRICE-TICK buckets
     # (__b = __ticks div 2e6; the tick DOMAIN is bounded by order size,
     # not corpus size, so ~30 buckets x 5 priorities at any SF) and runs
-    # the same two RANGE frames per (priority, bucket). Phase 2 reduces
-    # each bucket to its max qty (an agg on the partitioning phase 1
-    # already established), takes the strictly-earlier-bucket running max
-    # pmax over the TINY (priority, bucket) frame, and broadcast-joins it
-    # back. Every earlier-bucket row has strictly smaller __ticks by
-    # construction (floor is monotone, buckets are tick-disjoint), so
-    #   strict-max  = max(local strict frame, pmax)
-    #   incl-max    = max(local incl frame, pmax)
-    # and dominated ⇔ local_strict >= qty | local_incl > qty | pmax >= qty
-    # (pmax >= qty subsumes the pmax > qty leg of the incl test). The
-    # base frame is managed_cache'd: both phases read it, and without the
-    # cache the lineitem agg + orders join would execute twice.
-    from feature_store_test_spark.registry import managed_cache
+    # the same two RANGE frames per (priority, bucket): rows dominated
+    # WITHIN their bucket are dropped. 2-D dominance is transitive, so
+    # the locally-non-dominated rows are a DOMINATING SET — any globally
+    # dominated row is dominated by some phase-1 survivor — and phase 2
+    # re-runs the ORIGINAL 5-partition window on the (few) survivors
+    # only. Exact same output; the data-sized sort now runs at bucket
+    # width and the declared-key window sorts a skyline-sized frame.
+    # Rejected intermediate (A/B'd): managed_cache + per-bucket running-
+    # max join-back — won x1 (0.28 vs 0.43) but LOST x10 (2.46 vs 1.87,
+    # the 1.5M-row cache write/read); this cascade needs no cache and no
+    # join. Keyed spread on lineitem per q78's rationale (the qty agg is
+    # orderkey-keyed).
+    from feature_store_test_spark.data import load_table_spread
 
     orders = load_table(spark, "orders", sf_dir)
-    li = load_table(spark, "lineitem", sf_dir)
+    li = load_table_spread(spark, "lineitem", sf_dir, key="l_orderkey")
     qty = li.groupBy("l_orderkey").agg(
         F.sum(F.col("l_quantity").cast("long")).alias("total_qty")
     )
-    q = managed_cache(
+    q = (
         orders.join(qty, orders["o_orderkey"] == qty["l_orderkey"]).select(
             "o_orderkey",
             "o_orderpriority",
@@ -855,37 +858,29 @@ def q140_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_ticks(F.col("o_totalprice"), 2).alias("__ticks"),
         ).withColumn("__b", F.expr("__ticks div 2000000"))
     )
-    w_strict = (
-        Window.partitionBy("o_orderpriority", "__b")
-        .orderBy("__ticks")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_incl = (
-        Window.partitionBy("o_orderpriority", "__b")
-        .orderBy("__ticks")
-        .rangeBetween(Window.unboundedPreceding, 0)
-    )
     qty_c = F.col("total_qty")
-    buckets = q.groupBy("o_orderpriority", "__b").agg(F.max(qty_c).alias("__bmax"))
-    w_prev = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prev = buckets.select(
-        "o_orderpriority",
-        "__b",
-        F.max("__bmax").over(w_prev).alias("__pmax"),
-    )
-    dominated = (
-        (F.coalesce(F.max(qty_c).over(w_strict), F.lit(-1)) >= qty_c)
-        | (F.max(qty_c).over(w_incl) > qty_c)
-        | (F.coalesce(F.col("__pmax"), F.lit(-1)) >= qty_c)
-    )
+
+    def dominated(partition_cols: list[str]) -> F.Column:
+        w_strict = (
+            Window.partitionBy(*partition_cols)
+            .orderBy("__ticks")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_incl = (
+            Window.partitionBy(*partition_cols)
+            .orderBy("__ticks")
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            F.coalesce(F.max(qty_c).over(w_strict), F.lit(-1)) >= qty_c
+        ) | (F.max(qty_c).over(w_incl) > qty_c)
+
+    survivors = q.withColumn(
+        "__dom1", dominated(["o_orderpriority", "__b"])
+    ).where(~F.col("__dom1"))
     return (
-        q.join(F.broadcast(prev), ["o_orderpriority", "__b"])
-        .withColumn("__dom", dominated)
-        .where(~F.col("__dom"))
+        survivors.withColumn("__dom2", dominated(["o_orderpriority"]))
+        .where(~F.col("__dom2"))
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "total_qty")
     )
 

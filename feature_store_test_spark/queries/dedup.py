@@ -507,15 +507,40 @@ def q66_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     ).distinct()
-    a = sh.select(F.col("doc_id").alias("id_a"), "h")
-    b = sh.select(F.col("doc_id").alias("id_b"), "h")
-    rep_pairs = (
-        a.join(b, "h")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared_shingles"))
-        .where(F.col("shared_shingles") >= 2)
-    )
+    # Pair generation, cost-gated (round 11, r10 verdict item 5): above
+    # ~2 MB of input text the digest PRE-COLLAPSE — group doc ids per
+    # shared window digest, explode ordered pairs — beats the two-sided
+    # self-join (x10 replica: min 2.55 -> 1.73 interleaved; ONE shuffle
+    # of sh plus a pair explode instead of two shuffles + a per-partition
+    # hash build of the whole digest table, and the size(ids)>=2 filter
+    # kills unshared digests before any pair row exists). Below the
+    # crossover the object-agg collect costs more than the join probe
+    # (x1: 0.82 -> 1.17), so the fixture-scale form keeps the join. The
+    # gate is a driver-side file stat — the 100 TB path always collapses.
+    from feature_store_test_spark.data import _table_bytes
+
+    if _table_bytes(f"{sf_dir}/documents.parquet") >= 2 * 1024 * 1024:
+        per_h = (
+            sh.groupBy("h")
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+            .where(F.size("ids") >= 2)
+        )
+        rep_pairs = (
+            per_h.select(F.explode(ordered_pair_structs(F.col("ids"))).alias("p"))
+            .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared_shingles"))
+            .where(F.col("shared_shingles") >= 2)
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("id_a"), "h")
+        b = sh.select(F.col("doc_id").alias("id_b"), "h")
+        rep_pairs = (
+            a.join(b, "h")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_shingles"))
+            .where(F.col("shared_shingles") >= 2)
+        )
     ga = groups.select(F.col("__rep").alias("id_a"), F.col("__ids").alias("__ids_a"))
     gb = groups.select(F.col("__rep").alias("id_b"), F.col("__ids").alias("__ids_b"))
     cross = (

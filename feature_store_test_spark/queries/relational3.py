@@ -448,7 +448,13 @@ def q75_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "semi", "agg", "subquery"),
 )
 def q76_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir)
+    # keyed spread — q78's rationale: the per-order HAVING aggregation is
+    # keyed on l_orderkey, so the spread folds into the agg exchange and
+    # widens the agg+join stage (A/B n=8: min 0.426→0.373, med
+    # 0.499→0.415); no-op on multi-file layouts.
+    from feature_store_test_spark.data import load_table_spread
+
+    li = load_table_spread(spark, "lineitem", sf_dir, key="l_orderkey")
     o = load_table(spark, "orders", sf_dir)
     c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
     # The IN-over-HAVING decorrelates to a single per-order aggregation:
@@ -583,7 +589,19 @@ def q77_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "semi", "anti", "agg", "subquery"),
 )
 def q78_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir)
+    # keyed spread (round 11, data.load_table_spread): lineitem's FIRST
+    # operation is the orderkey exchange feeding the SHJ + two pipelined
+    # aggs — on a single-row-group fixture that whole middle stage runs
+    # at the toy profile's 4-task width while the (serial) scan stage
+    # writes the exchange either way. The keyed repartition IS that
+    # exchange (hash(l_orderkey) satisfies the join clustering — plan
+    # verified: same Exchange count), just data-sized wide. Interleaved
+    # A/B n=10: min 0.504→0.414, med 0.550→0.444 (width 6–11 all within
+    # noise of each other; bytes/1.5MiB lands at 8). No-op on multi-file
+    # layouts via the existing capacity gate.
+    from feature_store_test_spark.data import load_table_spread
+
+    li = load_table_spread(spark, "lineitem", sf_dir, key="l_orderkey")
     o = (
         load_table(spark, "orders", sf_dir)
         .where(F.col("o_orderstatus") == "F")

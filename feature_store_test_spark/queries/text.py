@@ -752,15 +752,33 @@ def q157_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # - langs from the raw column (NOT from the profile subtree, which
     #   would re-run the full trigram agg to list ~5 langs); NULL labels
     #   excluded — tie-break NULL-ordering parity (code-review r9).
+    from feature_store_test_spark.data import _table_bytes
     from feature_store_test_spark.operators.langid import (
         classify_trigrams,
+        doc_trigram_counts,
         train_trigram_profiles,
     )
+    from feature_store_test_spark.registry import managed_cache
 
     docs = load_table(spark, "documents", sf_dir)
-    profiles, langs = train_trigram_profiles(docs, k=_LANGID_K)
+    # ONE corpus explode for both halves (round 11): training and
+    # classification each aggregate the same (doc, lang, tri, cnt) frame,
+    # so materializing it runs the trigram explode once instead of twice
+    # — interleaved A/B at sf0.1: min 2.19 -> 1.07. Cost-gated on input
+    # bytes like q66: above ~2 MB of text the cached frame (~4k distinct
+    # tris per doc x corpus) costs more to write+read than the second
+    # explode (x10 replica: 5.19 -> 6.11 with the cache), so large
+    # corpora keep the recompute — the guide §5 rule (cache only when
+    # recompute costs more than the materialization).
+    dtc = None
+    if _table_bytes(f"{sf_dir}/documents.parquet") < 2 * 1024 * 1024:
+        dtc = managed_cache(doc_trigram_counts(docs, "doc_id", "lang"))
+    profiles, langs = train_trigram_profiles(
+        docs, k=_LANGID_K, doc_tri_counts=dtc
+    )
     pred = classify_trigrams(
-        docs, profiles, langs, k=_LANGID_K, carry_cols=["lang"]
+        docs, profiles, langs, k=_LANGID_K, carry_cols=["lang"],
+        doc_tri_counts=dtc,
     )
     return pred.groupBy("lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs")

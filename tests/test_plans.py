@@ -164,14 +164,17 @@ def test_q102_eval_grams_broadcast_and_no_python(spark, sf_dir):
 
 
 def test_q105_small_parents_broadcast_anti_joins(spark, sf_dir):
-    """The FK audit's small-dimension checks run as broadcast LEFT joins
-    feeding null-counts (never a shuffle of lineitem against a dimension
-    table); the orders probe is the one real shuffle and must scan
-    lineitem exactly once (round-5 fused single-pass form)."""
+    """The FK audit's LINEITEM-side dimension checks run as broadcast
+    LEFT joins feeding null-counts (never a shuffle of lineitem against a
+    dimension table); the orders probe is the one real shuffle and must
+    scan lineitem exactly once (round-5 fused single-pass form). The
+    orders⋈customer branch is deliberately SHUFFLE_HASH since round 11
+    (a broadcast build is its own scheduler job; the branch shuffles
+    orders' two key columns, not lineitem — time-wash, 4 jobs -> 3)."""
     plan = plan_of(spark, sf_dir, "q105_referential_audit")
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("lineitem.parquet") == 1, plan
-    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert plan.count("ShuffledHashJoin") >= 2  # orders probe + ck branch
     assert "Python" not in plan
 
 
