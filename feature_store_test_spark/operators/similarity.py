@@ -678,13 +678,33 @@ def ivf_assign(
 
     Scale: centroids broadcast (coarse quantizers are small — thousands of
     cells for billions of vectors); assignment is one scan, no shuffle.
+
+    Norms are precomputed ONCE per side before the pair join (round 11 —
+    the cosine_topk discipline): higher-order array folds run
+    interpreted, and ``cosine()`` per (row, centroid) pair re-folded the
+    row norm |cells| times and the centroid norm |rows| times. The
+    divisor keeps the exact ``l2(a)*l2(b)`` multiplication order, so
+    assignments are bit-identical.
     """
-    c = centroids.select("cid", "cv")
+    c = centroids.select("cid", "cv", l2_norm("cv").alias("__cvn"))
     w = Window.partitionBy("__id").orderBy(F.col("__sim").desc(), F.col("cid"))
     return (
-        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(vec_col).alias("__vn"),
+        )
         .join(F.broadcast(c))
-        .select("__id", "__v", "cid", F.round(cosine("__v", "cv"), round_dp).alias("__sim"))
+        .select(
+            "__id",
+            "__v",
+            "cid",
+            F.round(
+                dot("__v", "cv")
+                / F.nullif(F.col("__vn") * F.col("__cvn"), F.lit(0.0)),
+                round_dp,
+            ).alias("__sim"),
+        )
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_probe)
         .select("__id", "__v", "cid")
@@ -714,11 +734,21 @@ def ivf_ann_topk(
     come from a k-means fit — here they are seeded deterministically so the
     whole operator is engine-comparable.
     """
+    # norms precomputed once per side before the cell join (round 11 —
+    # the cosine_topk discipline; divisor keeps the l2(q)*l2(c) order so
+    # scores are bit-identical): the pair stage folds ONE dot per
+    # (query, cellmate) instead of three array folds
     ca = ivf_assign(corpus, centroids, id_col, vec_col, 1, round_dp).select(
-        F.col("__id").alias("neighbor_id"), F.col("__v").alias("__cv"), "cid"
+        F.col("__id").alias("neighbor_id"),
+        F.col("__v").alias("__cv"),
+        "cid",
+        l2_norm("__v").alias("__cn"),
     )
     qa = ivf_assign(queries, centroids, id_col, vec_col, n_probe, round_dp).select(
-        F.col("__id").alias("query_id"), F.col("__v").alias("__qv"), "cid"
+        F.col("__id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        "cid",
+        l2_norm("__v").alias("__qn"),
     )
     scored = (
         ca.join(qa, "cid")
@@ -726,12 +756,75 @@ def ivf_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("__qv", "__cv"), round_dp).alias("cos_sim"),
+            F.round(
+                dot("__qv", "__cv")
+                / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
+                round_dp,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _exact_rescore(
+    cands: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_dp: int,
+    precompute_corpus_norm: bool = True,
+) -> DataFrame:
+    """Exact full-dimension cosine rescore of (query_id, neighbor_id)
+    candidate pairs + top-``k`` window — the shared tail of the ANN
+    operators. Norms are precomputed before the pair joins (round 11):
+    ``cosine()`` per pair folded three interpreted arrays (dot + both
+    norms). The query-side norm always precomputes (request-sized, rides
+    the broadcast); the corpus-side precompute is per call site —
+    MEASURED split: it wins for the PQ/IVF-PQ shapes (q103 x10 4.8 vs
+    6.7 interleaved) but LOSES for the PCA shape (q91 x10 1.9 vs 2.1,
+    x1 0.31 vs 0.40), whose mapInPandas candidate frame makes the
+    planner take the corpus side as the build/broadcast side — the
+    per-row fold then runs inside the (serial) relation build instead of
+    the probe stream. Either way the divisor keeps the exact
+    ``l2(q)*l2(c)`` multiplication order, so cos_sim is bit-identical to
+    ``cosine()`` (the cosine_topk argument; outputs verified identical
+    at 3 SFs + the 10x replica)."""
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        *([l2_norm(vec_col).alias("__cn")] if precompute_corpus_norm else []),
+    )
+    cn = F.col("__cn") if precompute_corpus_norm else l2_norm("__cv")
+    rescored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot("__qv", "__cv")
+                / F.nullif(F.col("__qn") * cn, F.lit(0.0)),
+                round_dp,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
@@ -1000,24 +1093,9 @@ def pca_ann_topk(
         round_dp=round_dp,
         lin_map=components,
     ).select("query_id", "neighbor_id")
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    rescored = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine("__qv", "__cv"), round_dp).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    return _exact_rescore(
+        cands, queries, corpus, id_col, vec_col, k, round_dp,
+        precompute_corpus_norm=False,
     )
 
 
@@ -1348,26 +1426,7 @@ def pq_ann_topk(
         .where(F.col("crank") <= n_candidates)
         .select("query_id", "neighbor_id")
     )
-
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    rescored = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine("__qv", "__cv"), round_dp).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
-    )
+    return _exact_rescore(cands, queries, corpus, id_col, vec_col, k, round_dp)
 
 
 def ivfpq_ann_topk(
@@ -1431,26 +1490,7 @@ def ivfpq_ann_topk(
         .where(F.col("crank") <= n_candidates)
         .select("query_id", "neighbor_id")
     )
-
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    rescored = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine("__qv", "__cv"), round_dp).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
-    )
+    return _exact_rescore(cands, queries, corpus, id_col, vec_col, k, round_dp)
 
 
 def pq_encode_arrow(
