@@ -69,6 +69,12 @@ def connected_components(
     prev_sum = labels.agg(label_sum).collect()[0][0]
     converged = False
 
+    # Round-11 rejected A/B (don't re-run): batching TWO propagation
+    # rounds per scheduler job (legal — labels are monotone, so an equal
+    # sum after a double-round still means fixpoint) cut q121's fn jobs
+    # 12 -> 8 but measured SLOWER end to end (interleaved min 2.34 ->
+    # 2.62, med 2.68 -> 3.15 on the q121 edge set): the deeper per-job
+    # plan costs more than the saved checkpoint+collect floor here.
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels, und["b"] == labels["node"])

@@ -273,18 +273,35 @@ def lsh_bucket(vec_col: str | Column, n_planes: int, dim: int) -> Column:
     near-duplicate vectors land in the same bucket with high probability
     while the corpus spreads over 2^n_planes buckets.
     """
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    coefs = _hyperplane_coefs(n_planes, dim)
-    bits = []
-    for plane in coefs:
-        c = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(
-            F.zip_with(v, c, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # single-parse SQL form (round 11, the r6 fusion playbook): the
+    # Column-API loop eagerly analyzed n_planes nested fold trees per
+    # call (~0.3s of q38's fn); one F.expr parse builds the IDENTICAL
+    # expression tree (repr round-trips doubles exactly), execution
+    # unchanged.
+    v_sql = f"`{vec_col}`" if isinstance(vec_col, str) else None
+    if v_sql is None:
+        # Column input: keep the API form (no SQL name to splice)
+        v = vec_col
+        coefs = _hyperplane_coefs(n_planes, dim)
+        bits = []
+        for plane in coefs:
+            c = F.array(*[F.lit(x) for x in plane])
+            d = F.aggregate(
+                F.zip_with(v, c, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+    parts = []
+    for plane in _hyperplane_coefs(n_planes, dim):
+        arr = ", ".join(f"{float(x)!r}D" for x in plane)
+        d = (
+            f"aggregate(zip_with({v_sql}, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
         )
-        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        parts.append(f"IF({d} >= 0D, '1', '0')")
+    return F.expr("concat(" + ", ".join(parts) + ")")
 
 
 def _grid_dirs(g: int, dim: int) -> list[list[float]]:
@@ -328,6 +345,23 @@ def _grid_cells(
     # can admit or the output would depend on the oversize routing in
     # that half-ulp band (exact plan-split contract).
     eps = math.sqrt(max(2.0 * (1.0 - (threshold - 5e-7)), 1e-12))
+    if isinstance(vec_col, str):
+        # single-parse SQL form — same rationale as lsh_bucket (round 11)
+        v_sql = f"`{vec_col}`"
+        nrm_sql = (
+            f"sqrt(aggregate({v_sql}, 0D, (acc, x) -> acc"
+            " + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+        cells_sql = []
+        for u in _grid_dirs(g, dim):
+            arr = ", ".join(f"{float(x)!r}D" for x in u)
+            proj = (
+                f"aggregate(zip_with({v_sql}, array({arr}), "
+                "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
+                f" / {nrm_sql}"
+            )
+            cells_sql.append(f"CAST(floor(({proj}) / {eps!r}D) AS BIGINT)")
+        return F.expr("array(" + ", ".join(cells_sql) + ")")
     nrm = l2_norm(v)
     cells = []
     for u in _grid_dirs(g, dim):
