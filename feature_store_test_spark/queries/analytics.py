@@ -439,16 +439,24 @@ def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was still SLOWER (min 0.749 -> 0.929: 600k probes against one 37k-
     # entry hash table cost more than three cache-resident small tables).
     # Round 11 re-A/B'd the ck branch per the r10 verdict (item 6):
-    # SHUFFLE_HASH(c) is a time WASH both windows (min +0.02, med −0.03,
+    # SHUFFLE_HASH(c) is a time WASH at sf0.1 (min +0.02, med −0.03,
     # n=10/n=14 interleaved) and sheds the broadcast-build scheduler job
-    # (4 -> 3) — adopted for the fixed-cost win; note orders⋈customer is
-    # FK⋈dim, so at 100 TB AQE's runtime conversion would re-broadcast
-    # the dim side where it pays.
-    from feature_store_test_spark.data import register_temp_views
+    # (4 -> 3) — but at the 10x replica the broadcast measured BETTER
+    # (x10 min 1.03 vs 1.20: there the orders shuffle is real bytes while
+    # the 150k-row customer dim broadcasts for pennies). The hint is
+    # therefore SIZE-GATED like the other cost-based plan splits: small
+    # orders (floor-bound regime, < 8 MB) take the in-job SHJ, larger
+    # corpora keep the dim broadcast — which is also the 100 TB plan.
+    from feature_store_test_spark.data import _table_bytes, register_temp_views
 
     register_temp_views(spark, sf_dir)
+    ck_hint = (
+        "SHUFFLE_HASH(c)"
+        if _table_bytes(f"{sf_dir}/orders.parquet") < 8 * 1024 * 1024
+        else "BROADCAST(c)"
+    )
     return spark.sql(
-        """
+        f"""
         WITH per_order AS (
           SELECT /*+ BROADCAST(p), BROADCAST(s) */ l_orderkey,
                  COUNT(*) AS n_rows,
@@ -468,7 +476,7 @@ def q105_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM per_order LEFT JOIN orders o ON l_orderkey = o.o_orderkey
         ),
         ckagg AS (
-          SELECT /*+ SHUFFLE_HASH(c) */
+          SELECT /*+ {ck_hint} */
                  COUNT_IF(c.c_custkey IS NULL) AS n_ck
           FROM orders LEFT JOIN customer c ON o_custkey = c_custkey
         )
